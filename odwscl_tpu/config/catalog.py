@@ -1,0 +1,88 @@
+"""Dataset and pretrained-model catalogs.
+
+Reference: wetectron/config/paths_catalog.py (DatasetCatalog:10,
+ModelCatalog:169). Maps dataset names to on-disk layout and pretrained
+weight shorthands to URLs/paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class DatasetCatalog:
+    DATASETS = {
+        "voc_2007_trainval": {"factory": "PascalVOCDataset",
+                              "data_dir": "voc/VOC2007", "split": "trainval"},
+        "voc_2007_train": {"factory": "PascalVOCDataset",
+                           "data_dir": "voc/VOC2007", "split": "train"},
+        "voc_2007_val": {"factory": "PascalVOCDataset",
+                         "data_dir": "voc/VOC2007", "split": "val"},
+        "voc_2007_test": {"factory": "PascalVOCDataset",
+                          "data_dir": "voc/VOC2007", "split": "test"},
+        "voc_2012_trainval": {"factory": "PascalVOCDataset",
+                              "data_dir": "voc/VOC2012", "split": "trainval"},
+        "voc_2012_train": {"factory": "PascalVOCDataset",
+                           "data_dir": "voc/VOC2012", "split": "train"},
+        "voc_2012_val": {"factory": "PascalVOCDataset",
+                         "data_dir": "voc/VOC2012", "split": "val"},
+        "voc_2012_test": {"factory": "PascalVOCDataset",
+                          "data_dir": "voc/VOC2012", "split": "test"},
+        "coco_2014_train": {"factory": "COCODataset",
+                            "img_dir": "coco/train2014",
+                            "ann_file": "coco/annotations/instances_train2014.json"},
+        "coco_2014_valminusminival": {"factory": "COCODataset",
+                                      "img_dir": "coco/val2014",
+                                      "ann_file": "coco/annotations/instances_valminusminival2014.json"},
+        "coco_2014_minival": {"factory": "COCODataset",
+                              "img_dir": "coco/val2014",
+                              "ann_file": "coco/annotations/instances_minival2014.json"},
+        "coco_2014_val": {"factory": "COCODataset",
+                          "img_dir": "coco/val2014",
+                          "ann_file": "coco/annotations/instances_val2014.json"},
+        "coco_2017_train": {"factory": "COCODataset",
+                            "img_dir": "coco/train2017",
+                            "ann_file": "coco/annotations/instances_train2017.json"},
+        "coco_2017_val": {"factory": "COCODataset",
+                          "img_dir": "coco/val2017",
+                          "ann_file": "coco/annotations/instances_val2017.json"},
+        "flickr_voc": {"factory": "WebDataset", "img_dir": "flickr_voc",
+                       "ann_file": "flickr_voc/flickr_clean.json"},
+        "flickr_coco": {"factory": "WebDataset", "img_dir": "flickr_coco",
+                        "ann_file": "flickr_coco/flickr_clean.json"},
+    }
+
+    @staticmethod
+    def get(name: str, data_root: str = "datasets"):
+        if name not in DatasetCatalog.DATASETS:
+            raise KeyError(f"Unknown dataset {name}")
+        attrs = dict(DatasetCatalog.DATASETS[name])
+        factory = attrs.pop("factory")
+        if factory == "PascalVOCDataset":
+            args = {"data_dir": os.path.join(data_root, attrs["data_dir"]),
+                    "split": attrs["split"]}
+        else:
+            args = {"img_dir": os.path.join(data_root, attrs["img_dir"]),
+                    "ann_file": os.path.join(data_root, attrs["ann_file"])}
+        return {"factory": factory, "args": args}
+
+
+class ModelCatalog:
+    """Pretrained weight shorthands (reference paths_catalog.py:169-244).
+    In this rebuild weights are imported from local .pth/.pkl files via
+    utils/weight_import.py; URLs are kept for documentation (no egress)."""
+
+    URLS = {
+        "VGGImageNetPretrained/JCJOHNS/VGG-16":
+            "https://web.eecs.umich.edu/~justincj/models/vgg16-00b39a1b.pth",
+        "ImageNetPretrained/MSRA/R-50":
+            "https://dl.fbaipublicfiles.com/detectron/ImageNetPretrained/MSRA/R-50.pkl",
+        "ImageNetPretrained/MSRA/R-101":
+            "https://dl.fbaipublicfiles.com/detectron/ImageNetPretrained/MSRA/R-101.pkl",
+    }
+
+    @staticmethod
+    def get(name: str) -> str:
+        if name.startswith("catalog://"):
+            name = name[len("catalog://"):]
+        return ModelCatalog.URLS.get(name, name)

@@ -1,0 +1,202 @@
+"""Default configuration tree.
+
+Mirrors the reference config surface (reference wetectron/config/defaults.py)
+for every option the rebuild supports, including the paper's top-level
+lowercase hyperparameter keys (defaults.py:540-551 in the reference), plus a
+``TPU`` section for static-shape bucketing and mesh layout, which replaces the
+reference's ragged tensors and NCCL/DDP knobs.
+"""
+
+from .node import CfgNode
+
+_C = CfgNode()
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+_C.MODEL = CfgNode()
+_C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+_C.MODEL.WSOD_ON = True
+_C.MODEL.FASTER_RCNN = False
+_C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
+_C.MODEL.WEIGHT = ""
+
+_C.MODEL.BACKBONE = CfgNode()
+_C.MODEL.BACKBONE.CONV_BODY = "VGG16-OICR"
+_C.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
+
+_C.MODEL.RESNETS = CfgNode()
+_C.MODEL.RESNETS.NUM_GROUPS = 1
+_C.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+_C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+_C.MODEL.RESNETS.RES5_DILATION = 1
+_C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+_C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+
+_C.MODEL.ROI_HEADS = CfgNode()
+_C.MODEL.ROI_HEADS.FG_IOU_THRESHOLD = 0.5
+_C.MODEL.ROI_HEADS.BG_IOU_THRESHOLD = 0.5
+_C.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+_C.MODEL.ROI_HEADS.SCORE_THRESH = 0.05
+_C.MODEL.ROI_HEADS.NMS = 0.5
+_C.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 100
+
+_C.MODEL.ROI_BOX_HEAD = CfgNode()
+_C.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 21
+_C.MODEL.ROI_BOX_HEAD.POOLER_METHOD = "ROIPool"  # ROIPool | ROIAlign
+_C.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+_C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
+_C.MODEL.ROI_BOX_HEAD.POOLER_SCALES = (0.125,)
+_C.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "VGG16.roi_head"
+_C.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM = 4096
+
+_C.MODEL.ROI_WEAK_HEAD = CfgNode()
+_C.MODEL.ROI_WEAK_HEAD.PREDICTOR = "MISTPredictor"  # WSDDNPredictor | OICRPredictor | MISTPredictor
+_C.MODEL.ROI_WEAK_HEAD.LOSS = "RoIRegLoss"  # WSDDNLoss | RoILoss | RoIRegLoss
+_C.MODEL.ROI_WEAK_HEAD.OICR_P = 0.0
+_C.MODEL.ROI_WEAK_HEAD.REGRESS_ON = True
+_C.MODEL.ROI_WEAK_HEAD.REGRESS_HEUR = "AVG"  # WSDDN | CLS-AVG | AVG | UNION
+_C.MODEL.ROI_WEAK_HEAD.PARTIAL_LABELS = "none"  # none | point | scribble
+_C.MODEL.ROI_WEAK_HEAD.ROI_LOSS_REFINE = False
+_C.MODEL.ROI_WEAK_HEAD.NUM_REFS = 3
+
+# ---------------------------------------------------------------------------
+# DropBlock / Concrete DropBlock (feature augmentation, reference DB.*)
+# ---------------------------------------------------------------------------
+_C.DB = CfgNode()
+_C.DB.METHOD = "none"  # none | dropblock | concrete
+_C.DB.PROB = 30
+_C.DB.TAU = 0.3
+_C.DB.SIZE = 3
+_C.DB.WEIGHT = 0.01
+_C.DB.LR = 0.01
+
+# ---------------------------------------------------------------------------
+# Input / transforms (reference INPUT.*)
+# ---------------------------------------------------------------------------
+_C.INPUT = CfgNode()
+_C.INPUT.MIN_SIZE_TRAIN = (800,)
+_C.INPUT.MAX_SIZE_TRAIN = 1333
+_C.INPUT.MIN_SIZE_TEST = 800
+_C.INPUT.MAX_SIZE_TEST = 1333
+_C.INPUT.PIXEL_MEAN = (102.9801, 115.9465, 122.7717)  # BGR order
+_C.INPUT.PIXEL_STD = (1.0, 1.0, 1.0)
+_C.INPUT.TO_BGR255 = True
+_C.INPUT.BRIGHTNESS = 0.0
+_C.INPUT.CONTRAST = 0.0
+_C.INPUT.SATURATION = 0.0
+_C.INPUT.HUE = 0.0
+_C.INPUT.PCA = True
+_C.INPUT.HORIZONTAL_FLIP_PROB_TRAIN = 0.5
+_C.INPUT.VERTICAL_FLIP_PROB_TRAIN = 0.0
+
+# ---------------------------------------------------------------------------
+# Datasets / proposals
+# ---------------------------------------------------------------------------
+_C.DATASETS = CfgNode()
+_C.DATASETS.TRAIN = ()
+_C.DATASETS.TEST = ()
+
+_C.PROPOSAL_FILES = CfgNode()
+_C.PROPOSAL_FILES.TRAIN = ()
+_C.PROPOSAL_FILES.TEST = ()
+
+_C.DATALOADER = CfgNode()
+_C.DATALOADER.NUM_WORKERS = 4
+_C.DATALOADER.SIZE_DIVISIBILITY = 32
+_C.DATALOADER.ASPECT_RATIO_GROUPING = True
+
+# ---------------------------------------------------------------------------
+# Solver (reference SOLVER.*)
+# ---------------------------------------------------------------------------
+_C.SOLVER = CfgNode()
+_C.SOLVER.MAX_ITER = 40000
+_C.SOLVER.BASE_LR = 0.001
+_C.SOLVER.BIAS_LR_FACTOR = 2
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.WEIGHT_DECAY = 0.0005
+_C.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+_C.SOLVER.GAMMA = 0.1
+_C.SOLVER.STEPS = (30000,)
+_C.SOLVER.WARMUP_FACTOR = 1.0 / 3
+_C.SOLVER.WARMUP_ITERS = 500
+_C.SOLVER.WARMUP_METHOD = "linear"
+_C.SOLVER.CHECKPOINT_PERIOD = 2500
+_C.SOLVER.IMS_PER_BATCH = 16
+_C.SOLVER.ITER_SIZE = -1
+_C.SOLVER.CONTRA = False
+
+_C.SOLVER_CDB = CfgNode()
+_C.SOLVER_CDB.BASE_LR = 0.001
+_C.SOLVER_CDB.BIAS_LR_FACTOR = 2
+_C.SOLVER_CDB.MOMENTUM = 0.9
+_C.SOLVER_CDB.WEIGHT_DECAY = 0.0005
+_C.SOLVER_CDB.WEIGHT_DECAY_BIAS = 0.0
+_C.SOLVER_CDB.GAMMA = 0.1
+_C.SOLVER_CDB.STEPS = (30000,)
+_C.SOLVER_CDB.WARMUP_FACTOR = 1.0 / 3
+_C.SOLVER_CDB.WARMUP_ITERS = 500
+_C.SOLVER_CDB.WARMUP_METHOD = "linear"
+
+# ---------------------------------------------------------------------------
+# Test / TTA (reference TEST.*)
+# ---------------------------------------------------------------------------
+_C.TEST = CfgNode()
+_C.TEST.IMS_PER_BATCH = 8
+_C.TEST.DETECTIONS_PER_IMG = 100
+_C.TEST.EXPECTED_RESULTS = []
+_C.TEST.EXPECTED_RESULTS_SIGMA_TOL = 4
+_C.TEST.BBOX_AUG = CfgNode()
+_C.TEST.BBOX_AUG.ENABLED = False
+_C.TEST.BBOX_AUG.HEUR = "UNION"  # UNION | AVG
+_C.TEST.BBOX_AUG.H_FLIP = False
+_C.TEST.BBOX_AUG.SCALES = ()
+_C.TEST.BBOX_AUG.MAX_SIZE = 4000
+_C.TEST.BBOX_AUG.SCALE_H_FLIP = False
+
+# ---------------------------------------------------------------------------
+# TPU-native knobs (new in the rebuild)
+# ---------------------------------------------------------------------------
+_C.TPU = CfgNode()
+# Proposal-count padding buckets; each image's proposals are padded up to the
+# smallest bucket >= its count (replaces the reference's ragged BoxLists).
+_C.TPU.PROPOSAL_BUCKETS = (512, 1024, 2048, 4096)
+# Image (H, W) padding: round each side up to a multiple of this after the
+# /32 SIZE_DIVISIBILITY pad, to bound the number of compiled shapes.
+_C.TPU.IMAGE_PAD_MULTIPLE = 128
+# Capacity of the compacted contrastive bank (unique (image, class, proposal)
+# slots; x3 views). Overflow beyond capacity is dropped lowest-hardness-first.
+_C.TPU.BANK_CAPACITY = 1024
+# Mesh axis names/sizes for pjit; data parallel only (matches the reference's
+# DDP-only strategy, see SURVEY.md section 2.3).
+_C.TPU.MESH_AXES = ("data",)
+# Compute dtype for backbone/heads ("bfloat16" | "float32"); params and loss
+# math stay float32 (replaces the reference's apex AMP O1).
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+
+# ---------------------------------------------------------------------------
+# Misc (reference top-level)
+# ---------------------------------------------------------------------------
+_C.OUTPUT_DIR = "."
+_C.SEED = 1234
+_C.DTYPE = "float32"
+_C.PATHS_CATALOG = ""
+
+# Paper's sweepable hyperparameters — top-level lowercase keys, set via CLI
+# opts exactly like the reference (reference defaults.py:540-551).
+_C.cluster = 5
+_C.nms = 0.1
+_C.lmda = 0.1
+_C.pos_update = 0
+_C.thres = 0.5
+_C.iou = 0.5
+_C.temp = 0.2
+_C.loss = "supconv2"  # supcon | supconv2
+_C.cls_hp = 1.0
+_C.reg_hp = 1.0
+_C.min_size = 0.0
+_C.lmda2 = 0.0
+
+
+def get_default_cfg() -> CfgNode:
+    return _C.clone()

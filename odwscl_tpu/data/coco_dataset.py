@@ -1,0 +1,115 @@
+"""COCO dataset with precomputed proposals.
+
+Reference: wetectron/data/datasets/coco.py:60-197. pycocotools is not a
+dependency here; a minimal JSON-backed index (`MiniCOCO`) provides the
+pieces the pipeline needs (images, annotations, contiguous category ids).
+Proposal handling matches VOC's but with ``min_size=2`` (coco.py:120).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from .transforms import Sample
+from .proposals import ProposalStore
+
+
+class MiniCOCO:
+    """Tiny subset of the pycocotools COCO API backed by plain json."""
+
+    def __init__(self, ann_file: str):
+        with open(ann_file) as f:
+            data = json.load(f)
+        self.dataset = data
+        self.imgs = {im["id"]: im for im in data.get("images", [])}
+        self.cats = {c["id"]: c for c in data.get("categories", [])}
+        self.img_to_anns = defaultdict(list)
+        self.anns = {}
+        for ann in data.get("annotations", []):
+            self.img_to_anns[ann["image_id"]].append(ann)
+            self.anns[ann["id"]] = ann
+
+    def getImgIds(self):
+        return sorted(self.imgs.keys())
+
+    def getCatIds(self):
+        return sorted(self.cats.keys())
+
+    def loadImgs(self, ids):
+        if isinstance(ids, int):
+            ids = [ids]
+        return [self.imgs[i] for i in ids]
+
+    def loadAnns(self, ids):
+        return [self.anns[i] for i in ids]
+
+
+class COCODataset:
+    def __init__(self, ann_file: str, img_dir: str,
+                 remove_images_without_annotations: bool = True,
+                 proposal_file: Optional[str] = None, min_size: float = 2.0):
+        self.coco = MiniCOCO(ann_file)
+        self.root = img_dir
+        ids = self.coco.getImgIds()
+        if remove_images_without_annotations:
+            ids = [i for i in ids if any(
+                ann.get("iscrowd", 0) == 0 for ann in self.coco.img_to_anns[i])]
+        self.ids = ids
+        # contiguous category ids (coco.py:74-80): json id -> [1..C-1]
+        self.json_category_id_to_contiguous_id = {
+            v: i + 1 for i, v in enumerate(self.coco.getCatIds())}
+        self.contiguous_category_id_to_json_id = {
+            v: k for k, v in self.json_category_id_to_contiguous_id.items()}
+        self.id_to_img_map = dict(enumerate(self.ids))
+        self.categories = {c["id"]: c["name"] for c in self.coco.cats.values()}
+        self.proposals = (ProposalStore(proposal_file, min_size=min_size)
+                          if proposal_file else None)
+
+    def __len__(self):
+        return len(self.ids)
+
+    def get_origin_id(self, index):
+        return self.ids[index]
+
+    def get_img_info(self, index):
+        im = self.coco.imgs[self.ids[index]]
+        return {"height": im["height"], "width": im["width"],
+                "file_name": im["file_name"]}
+
+    def get_groundtruth(self, index):
+        img_id = self.ids[index]
+        anns = [a for a in self.coco.img_to_anns[img_id]
+                if a.get("iscrowd", 0) == 0]
+        boxes, labels = [], []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            # xywh -> xyxy with TO_REMOVE (bounding_box.py convert)
+            boxes.append([x, y, x + max(w - 1, 0), y + max(h - 1, 0)])
+            labels.append(self.json_category_id_to_contiguous_id[a["category_id"]])
+        return (np.asarray(boxes, np.float32).reshape(-1, 4),
+                np.asarray(labels, np.int64),
+                np.zeros(len(labels), bool))
+
+    def __getitem__(self, index) -> Sample:
+        img_id = self.ids[index]
+        info = self.coco.imgs[img_id]
+        img = Image.open(os.path.join(self.root, info["file_name"])).convert("RGB")
+        gt_boxes, gt_labels, gt_diff = self.get_groundtruth(index)
+        w, h = img.size
+        gt_boxes[:, 0::2] = gt_boxes[:, 0::2].clip(0, w - 1)
+        gt_boxes[:, 1::2] = gt_boxes[:, 1::2].clip(0, h - 1)
+        rois = (self.proposals.get(int(img_id), img.size)
+                if self.proposals is not None else None)
+        return Sample(image=img, size=img.size, gt_boxes=gt_boxes,
+                      gt_labels=gt_labels, gt_difficult=gt_diff, rois=rois,
+                      image_id=index)
+
+    def map_class_id_to_class_name(self, class_id):
+        json_id = self.contiguous_category_id_to_json_id.get(class_id)
+        return self.categories.get(json_id, str(class_id))

@@ -1,0 +1,233 @@
+"""Inference engine: per-image detection with optional multi-transform TTA.
+
+Reference: wetectron/engine/inference.py:19-135 (compute_on_dataset, rank
+gather, predictions cache, evaluator dispatch) and engine/bbox_aug.py:11-141
+(identity + h-flip + per-scale x flip forwards, AVG/UNION merge — valid
+because proposals are fixed across transforms, so per-proposal outputs
+align). 14 forwards/image in the shipped configs.
+
+TPU notes: each (scale, flip) runs the same jitted eval forward; images pad
+to shape buckets so the compile count stays at ~#scales. Scores/boxes are
+averaged on host (they're [P, C]-small), then one device NMS pass finishes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.transforms import EvalTransform, Sample
+from ..data.collate import BatchCollator
+from .postprocess import (per_class_nms_keep, assemble_detections,
+                          finalize_detections_device, detections_to_host,
+                          resize_detections)
+
+logger = logging.getLogger("odwscl_tpu.inference")
+
+
+class TTAConfig:
+    def __init__(self, cfg):
+        self.enabled = cfg.TEST.BBOX_AUG.ENABLED
+        self.h_flip = cfg.TEST.BBOX_AUG.H_FLIP
+        self.scales = tuple(cfg.TEST.BBOX_AUG.SCALES)
+        self.max_size = cfg.TEST.BBOX_AUG.MAX_SIZE
+        self.scale_h_flip = cfg.TEST.BBOX_AUG.SCALE_H_FLIP
+        self.heur = cfg.TEST.BBOX_AUG.HEUR
+        self.base_min = cfg.INPUT.MIN_SIZE_TEST
+        self.base_max = cfg.INPUT.MAX_SIZE_TEST
+        self.pixel_mean = tuple(cfg.INPUT.PIXEL_MEAN)
+        self.pixel_std = tuple(cfg.INPUT.PIXEL_STD)
+        self.to_bgr255 = cfg.INPUT.TO_BGR255
+
+    def transforms(self) -> List[EvalTransform]:
+        """The (scale, flip) list in reference order (bbox_aug.py:26-51)."""
+        out = [EvalTransform(self.base_min, self.base_max, self.pixel_mean,
+                             self.pixel_std, self.to_bgr255, flip=False)]
+        if self.h_flip:
+            out.append(EvalTransform(self.base_min, self.base_max,
+                                     self.pixel_mean, self.pixel_std,
+                                     self.to_bgr255, flip=True))
+        for s in self.scales:
+            out.append(EvalTransform(s, self.max_size, self.pixel_mean,
+                                     self.pixel_std, self.to_bgr255, flip=False))
+            if self.scale_h_flip:
+                out.append(EvalTransform(s, self.max_size, self.pixel_mean,
+                                         self.pixel_std, self.to_bgr255,
+                                         flip=True))
+        return out
+
+
+def _unflip_boxes(boxes: np.ndarray, width: float) -> np.ndarray:
+    out = boxes.copy()
+    # boxes laid out [..., 4K]: flip each (x1, x2) pair
+    x1 = out[..., 0::4].copy()
+    x2 = out[..., 2::4].copy()
+    out[..., 0::4] = width - 1 - x2
+    out[..., 2::4] = width - 1 - x1
+    return out
+
+
+def _rescale_boxes(boxes: np.ndarray, rw: float, rh: float) -> np.ndarray:
+    out = boxes.copy()
+    out[..., 0::2] *= rw
+    out[..., 1::2] *= rh
+    return out
+
+
+@jax.jit
+def _unflip_boxes_device(boxes, widths):
+    """boxes [B,P,4K]; widths [B]. BoxList.transpose(0) semantics."""
+    b, p, k4 = boxes.shape
+    bx = boxes.reshape(b, p, -1, 4)
+    w = widths[:, None, None]
+    x1 = w - 1.0 - bx[..., 2]
+    x2 = w - 1.0 - bx[..., 0]
+    return jnp.stack([x1, bx[..., 1], x2, bx[..., 3]], -1).reshape(b, p, k4)
+
+
+@jax.jit
+def _rescale_boxes_device(boxes, rw, rh):
+    b, p, k4 = boxes.shape
+    bx = boxes.reshape(b, p, -1, 4)
+    rw = rw[:, None, None]
+    rh = rh[:, None, None]
+    out = jnp.stack([bx[..., 0] * rw, bx[..., 1] * rh,
+                     bx[..., 2] * rw, bx[..., 3] * rh], -1)
+    return out.reshape(b, p, k4)
+
+
+class Inferencer:
+    """Runs eval forwards (with TTA) and post-processing for one model."""
+
+    def __init__(self, model, variables, cfg, collator: Optional[BatchCollator] = None):
+        self.model = model
+        self.variables = variables
+        self.tta = TTAConfig(cfg)
+        self.nms_thresh = cfg.MODEL.ROI_HEADS.NMS
+        self.score_thresh = cfg.MODEL.ROI_HEADS.SCORE_THRESH
+        self.det_per_img = cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG
+        self.collator = collator or BatchCollator(
+            cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+            cfg.DATALOADER.SIZE_DIVISIBILITY, cfg.TPU.IMAGE_PAD_MULTIPLE,
+            tuple(cfg.TPU.PROPOSAL_BUCKETS))
+        self._fwd = jax.jit(
+            lambda v, b: self.model.apply(v, b, train=False))
+
+    def forward_batch(self, batch):
+        return self._fwd(self.variables, batch)
+
+    def predict_samples(self, samples: List[Sample]) -> List[Dict[str, np.ndarray]]:
+        """samples: UNtransformed (original) Samples with rois; returns final
+        per-image detections in the FIRST transform's coordinate frame
+        (identity scale), like the reference (bbox_aug.py:17-24)."""
+        if not self.tta.enabled:
+            batch = self.collator(samples)
+            scores, boxes = self.forward_batch(batch)
+            return self._finalize(np.asarray(scores, np.float32),
+                                  np.asarray(boxes, np.float32),
+                                  np.asarray(batch.box_mask))
+
+        import jax.numpy as jnp
+
+        transforms = self.tta.transforms()
+        sum_scores = sum_boxes = None
+        ref_sizes = None  # identity-transform sizes (w,h) per image
+        mask0 = None
+        for t_i, tr in enumerate(transforms):
+            t_samples = [tr(s) for s in samples]
+            batch = self.collator(t_samples)
+            scores, boxes = self.forward_batch(batch)
+            sizes = np.array([ts.size for ts in t_samples], np.float32)  # (w,h)
+            if tr.flip:
+                boxes = _unflip_boxes_device(boxes, jnp.asarray(sizes[:, 0]))
+            if t_i == 0:
+                ref_sizes = sizes
+                mask0 = batch.box_mask
+                sum_scores = scores
+                sum_boxes = boxes
+            else:
+                # resize each image's boxes to the identity frame (on device)
+                rw = jnp.asarray(ref_sizes[:, 0] / sizes[:, 0])
+                rh = jnp.asarray(ref_sizes[:, 1] / sizes[:, 1])
+                boxes = _rescale_boxes_device(boxes, rw, rh)
+                if self.tta.heur == "AVG":
+                    sum_scores = sum_scores + scores
+                    sum_boxes = sum_boxes + boxes
+                else:
+                    raise NotImplementedError(
+                        "UNION TTA merge not implemented; shipped configs use AVG")
+            # proposal masks coincide across transforms (fixed proposals)
+        n = len(transforms)
+        return self._finalize(sum_scores / n, sum_boxes / n, mask0)
+
+    def _finalize(self, scores, boxes, box_mask):
+        import jax.numpy as jnp
+        b, p = scores.shape[:2]
+        boxes_pc = (jnp.asarray(boxes).reshape(b, p, -1, 4)
+                    if boxes.shape[-1] != 4 else jnp.asarray(boxes))
+        out = finalize_detections_device(
+            boxes_pc, jnp.asarray(scores), jnp.asarray(box_mask),
+            self.nms_thresh, self.score_thresh, self.det_per_img)
+        return detections_to_host(*out)
+
+
+def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
+              task: str = "det", use_cached: bool = True):
+    """Full dataset inference + evaluation (engine/inference.py:72-135)."""
+    from ..evaluation.voc_eval import do_voc_evaluation, do_corloc_evaluation
+    from ..evaluation.coco_eval import do_coco_evaluation
+    from ..data.voc import PascalVOCDataset
+
+    pred_path = (os.path.join(output_folder, "predictions.pkl")
+                 if output_folder else None)
+    if pred_path and use_cached and os.path.exists(pred_path):
+        with open(pred_path, "rb") as f:
+            predictions = pickle.load(f)
+        logger.info("Loaded cached predictions from %s", pred_path)
+    else:
+        inferencer = Inferencer(model, variables, cfg)
+        predictions = {}
+        t0 = time.time()
+        n_images = 0
+        for batch, samples, idxs in eval_loader:
+            if cfg.TEST.BBOX_AUG.ENABLED:
+                dets = inferencer.predict_samples(samples)
+                # identity frame -> original image frame
+                for d, s, idx in zip(dets, samples, idxs):
+                    tr0 = inferencer.tta.transforms()[0]
+                    t0s = tr0(s)
+                    info = dataset.get_img_info(int(idx))
+                    d = resize_detections(d, t0s.size,
+                                          (info["width"], info["height"]))
+                    predictions[int(idx)] = d
+            else:
+                scores, boxes = inferencer.forward_batch(batch)
+                dets = inferencer._finalize(np.asarray(scores, np.float32),
+                                            np.asarray(boxes, np.float32),
+                                            np.asarray(batch.box_mask))
+                for d, s, idx in zip(dets, samples, idxs):
+                    info = dataset.get_img_info(int(idx))
+                    d = resize_detections(d, s.size,
+                                          (info["width"], info["height"]))
+                    predictions[int(idx)] = d
+            n_images += len(samples)
+        dt = time.time() - t0
+        logger.info("Inference: %d images in %.1fs (%.4f s/img)",
+                    n_images, dt, dt / max(n_images, 1))
+        predictions = [predictions[i] for i in sorted(predictions)]
+        if pred_path:
+            with open(pred_path, "wb") as f:
+                pickle.dump(predictions, f)
+
+    if task == "corloc":
+        return do_corloc_evaluation(dataset, predictions, output_folder)
+    if isinstance(dataset, PascalVOCDataset):
+        return do_voc_evaluation(dataset, predictions, output_folder)
+    return do_coco_evaluation(dataset, predictions, output_folder)

@@ -1,0 +1,315 @@
+"""The WSOD detector: backbone -> RoI pool -> neck -> heads (+ full loss).
+
+Reference composition: GeneralizedRCNN (detector/generalized_rcnn.py:23) with
+ROIWeakRegHead (weak_head/weak_head.py:72) — precomputed proposals, no RPN
+(``FASTER_RCNN: False`` in every shipped config). Train forward implements
+weak_head.py:101-122 + loss.py:233-411 (RoIRegLoss) end to end inside one
+jittable apply; eval forward implements the ``testing_forward`` heuristics
+(weak_head.py:124-145).
+
+Static-shape batched layout everywhere: images [B,H,W,3] NHWC padded,
+proposals [B,P,4] + mask. No per-image Python loops — see losses/ for the
+batched mining/pseudo-labeling that replaces the reference's host loops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..ops.roi_pool import roi_pool
+from ..ops.roi_align import roi_align
+from ..ops.dropblock import dropblock_2d, noise_augment
+from ..structures.boxes import decode_boxes, clip_to_image
+from ..losses import (stage_a, stage_b, assemble_bank, supcon_loss,
+                      supcon_v2_loss, od_layer, oicr_layer, mist_layer,
+                      wsddn_final_score, mil_loss, refinement_cls_loss,
+                      refinement_reg_loss, avg_image_accuracy)
+from .vgg16 import VGGBackbone, VGGRoINeck
+from .sim_net import SimNet
+from .predictors import PREDICTORS
+
+
+@struct.dataclass
+class Batch:
+    """One padded training/eval batch (replaces ImageList + BoxList lists)."""
+
+    images: jnp.ndarray       # [B, H, W, 3] normalized (BGR*255 - mean)
+    image_sizes: jnp.ndarray  # [B, 2] (h, w) before padding
+    boxes: jnp.ndarray        # [B, P, 4] xyxy proposals
+    box_mask: jnp.ndarray     # [B, P]
+    labels: Optional[jnp.ndarray] = None  # [B, C] image-level, col 0 = 0
+
+
+class WSODDetector(nn.Module):
+    """Flagship model. Config fields mirror the reference YAML keys."""
+
+    num_classes: int = 21
+    backbone_arch: str = "VGG16-OICR"
+    predictor: str = "MISTPredictor"
+    num_refs: int = 3
+    pooler_method: str = "ROIPool"
+    pooler_resolution: int = 7
+    pooler_scale: float = 0.125
+    pooler_sampling: int = 2
+    pooler_win: int = 32
+    mlp_dim: int = 4096
+    db_method: str = "dropblock"      # none | dropblock | concrete
+    db_size: int = 3
+    db_prob: float = 0.3
+    cdb_tau: float = 0.3              # DB.TAU
+    cdb_gsm_thres: float = 0.01       # DB.GSM_THRES
+    cdb_is_hard: bool = True          # DB.IS_HARD
+    cls_agnostic_bbox_reg: bool = False
+    regress_on: bool = True
+    regress_heur: str = "AVG"
+    contra: bool = True
+    oicr_p: float = 0.0
+    # paper hyperparameters (reference defaults.py:540-551)
+    p_thres: float = 0.5              # cfg.thres
+    mining_nms: float = 0.1           # cfg.nms
+    lmda: float = 0.1                 # cfg.lmda
+    temperature: float = 0.2          # cfg.temp
+    loss_type: str = "supconv2"       # cfg.loss
+    fg_iou: float = 0.5               # ROI_HEADS.FG_IOU_THRESHOLD
+    reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    # TPU knobs
+    cap_a: int = 768
+    cap_b: int = 256
+    gt_cap: int = 128
+    compute_dtype: str = "bfloat16"
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        self._dtype = dtype
+        if self.backbone_arch.startswith("VGG16"):
+            self.backbone = VGGBackbone(arch=self.backbone_arch,
+                                        compute_dtype=dtype)
+            self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype)
+        elif self.backbone_arch.startswith("R-"):
+            from .resnet import ResNetBackbone, ResNetRoINeck
+            depth = "-".join(self.backbone_arch.split("-")[:2])
+            stages_out = 5 if self.backbone_arch.endswith("C5") else 4
+            self.backbone = ResNetBackbone(depth=depth, stages_out=stages_out,
+                                           compute_dtype=dtype)
+            self.neck = ResNetRoINeck(mid_dim=2048, out_dim=self.mlp_dim,
+                                      compute_dtype=dtype)
+        else:
+            raise ValueError(f"Unknown backbone {self.backbone_arch}")
+        self.sim_net = SimNet(compute_dtype=dtype)
+        pred_cls = PREDICTORS[self.predictor]
+        kwargs = dict(num_classes=self.num_classes, compute_dtype=dtype)
+        if self.predictor != "WSDDNPredictor":
+            kwargs["num_refs"] = self.num_refs
+        if self.predictor == "MISTPredictor":
+            kwargs["cls_agnostic_bbox_reg"] = self.cls_agnostic_bbox_reg
+        self.pred = pred_cls(**kwargs)
+        if self.db_method == "concrete":
+            from .cdb import ConvConcreteDB
+            self.cdb = ConvConcreteDB(drop_prob=self.cdb_tau,
+                                      block_size=self.db_size,
+                                      gsm_tau=self.cdb_gsm_thres,
+                                      is_hard=self.cdb_is_hard, name="cdb")
+
+    # -- building blocks ------------------------------------------------------
+    def pool(self, feats: jnp.ndarray, boxes: jnp.ndarray,
+             mask: jnp.ndarray) -> jnp.ndarray:
+        if self.pooler_method == "ROIPool":
+            return roi_pool(feats, boxes, mask, self.pooler_scale,
+                            self.pooler_resolution, self.pooler_win)
+        return roi_align(feats, boxes, mask, self.pooler_scale,
+                         self.pooler_resolution, self.pooler_sampling)
+
+    def _neck_flat(self, pooled: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """pooled [N, r, r, C] -> [N, D]."""
+        return self.neck(pooled, train=train)
+
+    # -- eval -----------------------------------------------------------------
+    def __call__(self, batch: Batch, train: bool = False):
+        if train:
+            return self.train_forward(batch)
+        return self.eval_forward(batch)
+
+    def init_all(self, batch: Batch):
+        """Cheap initializer: touches every submodule (backbone, neck,
+        sim net, predictor, cdb) WITHOUT the loss/mining graph, so
+        parameter trees are created in seconds instead of compiling the full
+        train step. Only needs the 'params' rng."""
+        feats = self.backbone(batch.images)
+        pooled = self.pool(feats, batch.boxes, batch.box_mask)
+        b, p = pooled.shape[:2]
+        flat = pooled.reshape(b * p, *pooled.shape[2:])
+        clean = self._neck_flat(flat, train=False)
+        z = self.sim_net(clean)
+        out = self.pred(clean.reshape(b, p, -1), batch.box_mask, train=True)
+        if self.db_method == "concrete":
+            _ = self.cdb(flat, batch.box_mask.reshape(-1), train=False)
+        return z, out
+
+    def eval_forward(self, batch: Batch):
+        """Returns (scores [B,P,C], boxes) per the REGRESS_HEUR heuristic
+        (weak_head.py:124-145). For AVG, boxes are the decoded per-class
+        regressed boxes [B,P,4C] clipped to the image; otherwise the raw
+        proposals [B,P,4]."""
+        feats = self.backbone(batch.images)
+        pooled = self.pool(feats, batch.boxes, batch.box_mask)
+        b, p = pooled.shape[:2]
+        clean = self._neck_flat(pooled.reshape(b * p, *pooled.shape[2:]),
+                                train=False).reshape(b, p, -1)
+        cls, det, refs, bbox = self.pred(clean, batch.box_mask, train=False)
+
+        if self.predictor == "WSDDNPredictor" or self.regress_heur == "WSDDN":
+            scores = cls * det if refs is None else cls * det
+            return scores, batch.boxes
+        if self.regress_heur == "CLS-AVG" or not self.regress_on:
+            scores = jnp.mean(jnp.stack(refs), axis=0)
+            return scores, batch.boxes
+        # AVG (default in all shipped configs)
+        scores = jnp.mean(jnp.stack(refs), axis=0)              # [B,P,C]
+        deltas = jnp.mean(jnp.stack(bbox), axis=0).astype(jnp.float32)
+        if self.cls_agnostic_bbox_reg:
+            deltas = deltas[..., -4:]
+        dec = decode_boxes(deltas, batch.boxes, self.reg_weights)  # [B,P,4K]
+        k = dec.shape[-1] // 4
+        dec = dec.reshape(b, p, k, 4)
+        dec = clip_to_image(dec, batch.image_sizes[:, None, None, :])
+        if self.cls_agnostic_bbox_reg:
+            dec = jnp.broadcast_to(dec, (b, p, self.num_classes, 4))
+        return scores, dec.reshape(b, p, -1)
+
+    # -- train ----------------------------------------------------------------
+    def train_forward(self, batch: Batch
+                      ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        boxes, mask, labels = batch.boxes, batch.box_mask, batch.labels
+        feats = self.backbone(batch.images)
+        pooled = self.pool(feats, boxes, mask)  # [B,P,r,r,C]
+        b, p = pooled.shape[:2]
+        flat_pooled = pooled.reshape(b * p, *pooled.shape[2:])
+
+        clean = self._neck_flat(flat_pooled, train=True).reshape(b, p, -1)
+        z_clean = self.sim_net(clean.reshape(b * p, -1)).reshape(b, p, -1)
+
+        # augmented predictor input (go_through_cdb, weak_head.py:87-99)
+        if self.db_method == "dropblock":
+            aug_pooled = dropblock_2d(self.make_rng("augment"), flat_pooled,
+                                      self.db_prob, self.db_size,
+                                      valid=mask.reshape(-1))
+        elif self.db_method == "concrete":
+            aug_pooled = self.cdb(flat_pooled, mask.reshape(-1), train=True)
+        else:  # none
+            aug_pooled = flat_pooled
+        aug = self._neck_flat(aug_pooled, train=True).reshape(b, p, -1)
+        cls, det, refs, bbox = self.pred(aug, mask, train=True)
+
+        final = wsddn_final_score(cls, det, mask)               # [B,P,C] f32
+        ref_softmax = jnp.stack(
+            [jax.nn.softmax(r.astype(jnp.float32), axis=-1) for r in refs])
+        labels_fg = labels[:, 1:] > 0
+
+        losses: Dict[str, jnp.ndarray] = {}
+        metrics: Dict[str, jnp.ndarray] = {}
+        losses["loss_img"] = mil_loss(final, labels)
+
+        pgt_instance = None
+        if self.contra:
+            a = stage_a(boxes, mask, labels_fg,
+                        jax.lax.stop_gradient(final),
+                        jax.lax.stop_gradient(ref_softmax),
+                        self.p_thres, self.cap_a)
+            slot_pooled = pooled[jnp.clip(a.slot_b, 0), a.slot_p]  # [capA,...]
+            dropped = dropblock_2d(self.make_rng("augment"), slot_pooled,
+                                   0.3, 1, valid=a.slot_valid)
+            z_drop = self.sim_net(self._neck_flat(dropped, train=True))
+            noised = noise_augment(self.make_rng("augment"), slot_pooled)
+            z_noise = self.sim_net(self._neck_flat(noised, train=True))
+
+            sb = stage_b(boxes, mask, labels_fg,
+                         jax.lax.stop_gradient(final),
+                         jax.lax.stop_gradient(ref_softmax),
+                         jax.lax.stop_gradient(z_clean),
+                         jax.lax.stop_gradient(z_drop),
+                         jax.lax.stop_gradient(z_noise),
+                         a, self.mining_nms, self.cap_b)
+            feats_e, labels_e, hard_e, valid_e = assemble_bank(
+                a, sb, z_clean, z_drop, z_noise)
+            mult = jnp.ones_like(labels_e, jnp.int32)
+            if self.loss_type == "supconv2":
+                sim = supcon_v2_loss(feats_e, labels_e, hard_e, valid_e, mult,
+                                     self.temperature)
+            else:
+                sim = supcon_loss(feats_e, labels_e, valid_e, mult,
+                                  self.temperature)
+            losses["loss_sim"] = self.lmda * sim
+            metrics["bank_overflow"] = (a.overflow + sb.overflow).astype(jnp.float32)
+            pgt_instance = sb.pgt_instance
+
+        # refinement branches (loss.py:356-394)
+        for i in range(self.num_refs):
+            src = final if i == 0 else ref_softmax[i - 1]
+            fg_scores = jax.lax.stop_gradient(src[..., 1:])     # [B,P,C-1]
+            if self.contra:
+                pl = od_layer(boxes, mask, fg_scores, labels_fg,
+                              pgt_instance[i], self.fg_iou, self.gt_cap,
+                              self.reg_weights)
+            elif self.oicr_p == 0.0:
+                pl = oicr_layer(boxes, mask, fg_scores, labels_fg,
+                                self.fg_iou, reg_weights=self.reg_weights)
+            else:
+                pl = mist_layer(boxes, mask, fg_scores, labels_fg,
+                                portion=self.oicr_p, fg_iou=self.fg_iou,
+                                reg_weights=self.reg_weights)
+            lam = 3.0 if i == 0 else 1.0
+            losses[f"loss_ref_cls{i}"] = lam * refinement_cls_loss(
+                refs[i], pl.labels, pl.weights, mask)
+            if self.regress_on and bbox is not None:
+                losses[f"loss_ref_reg{i}"] = lam * refinement_reg_loss(
+                    bbox[i], pl.labels, pl.weights, pl.reg_targets, mask,
+                    self.cls_agnostic_bbox_reg)
+            metrics[f"pgt_overflow{i}"] = pl.overflow.astype(jnp.float32)
+
+        # image-classification accuracies (loss.py:396-400)
+        img_score = jnp.clip(final.sum(axis=1), 1e-8, 1 - 1e-8)
+        metrics["acc_img"] = avg_image_accuracy(jnp.clip(labels, 0, 1), img_score)
+        for i in range(self.num_refs):
+            ref_sum = jnp.where(mask[..., None], refs[i].astype(jnp.float32),
+                                0.0).sum(axis=1)
+            metrics[f"acc_ref{i}"] = avg_image_accuracy(
+                jnp.clip(labels[:, 1:], 0, 1), ref_sum[:, 1:])
+        return losses, metrics
+
+
+def detector_from_cfg(cfg) -> WSODDetector:
+    """Build the flagship detector from a CfgNode (the reference's
+    build_detection_model equivalent for the WSOD path)."""
+    return WSODDetector(
+        num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+        backbone_arch=cfg.MODEL.BACKBONE.CONV_BODY,
+        predictor=cfg.MODEL.ROI_WEAK_HEAD.PREDICTOR,
+        num_refs=cfg.MODEL.ROI_WEAK_HEAD.NUM_REFS,
+        pooler_method=cfg.MODEL.ROI_BOX_HEAD.POOLER_METHOD,
+        pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        pooler_scale=cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES[0],
+        pooler_sampling=max(cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO, 2),
+        mlp_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
+        db_method=cfg.DB.METHOD,
+        db_size=cfg.DB.SIZE,
+        cls_agnostic_bbox_reg=cfg.MODEL.CLS_AGNOSTIC_BBOX_REG,
+        regress_on=cfg.MODEL.ROI_WEAK_HEAD.REGRESS_ON,
+        regress_heur=cfg.MODEL.ROI_WEAK_HEAD.REGRESS_HEUR,
+        contra=cfg.SOLVER.CONTRA,
+        oicr_p=cfg.MODEL.ROI_WEAK_HEAD.OICR_P,
+        p_thres=cfg.thres,
+        mining_nms=cfg.nms,
+        lmda=cfg.lmda,
+        temperature=cfg.temp,
+        loss_type=cfg.loss,
+        fg_iou=cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
+        reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
+        cap_a=cfg.TPU.BANK_CAPACITY,
+        cap_b=max(cfg.TPU.BANK_CAPACITY // 4, 64),
+        compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+    )

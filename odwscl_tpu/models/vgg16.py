@@ -1,0 +1,100 @@
+"""VGG16-OICR backbone and fc6/fc7 RoI neck.
+
+Reference: wetectron/modeling/backbone/vgg16.py. The OICR variant removes
+pool4 (identity) and dilates the conv5 block by 2 (vgg16.py:66-74, 90), so
+the output stride is 8 (``POOLER_SCALES (0.125,)``) with 512 channels. The
+RoI neck is the VGG classifier head: 512*7*7 -> 4096 -> 4096 with ReLU +
+dropout (vgg16.py:122-130).
+
+TPU-first notes: NHWC layout (XLA's preferred conv layout on TPU), bf16
+compute with f32 params via an explicit dtype cast, and the frozen conv
+blocks (FREEZE_CONV_BODY_AT=2, vgg16.py:48-55) handled by an optimizer mask
+rather than requires_grad.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Layer spec: int = 3x3 conv channels, 'M' = 2x2 maxpool, 'I' = identity
+# (removed pool), '<n>-D' = dilated 3x3 conv (vgg16.py:86-93).
+VGG_CFGS = {
+    "VGG16": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512,
+              "M", 512, 512, 512],
+    "VGG16-OICR": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512,
+                   512, "I", "512-D", "512-D", "512-D"],
+    "VGG16-ENCODER": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512,
+                      512, 512, "512-D", "512-D", "512-D"],
+}
+
+# Conv indices delimiting freeze blocks, matching the reference's
+# nn.Sequential layer indices [5, 10, 17, 23, 29] (vgg16.py:53): freezing at
+# block k freezes the first FREEZE_CONV_COUNTS[k-1] convolutions.
+FREEZE_CONV_COUNTS = [2, 4, 7, 10, 13]
+
+_KAIMING_OUT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class VGGBackbone(nn.Module):
+    """Returns stride-8 (OICR variant) NHWC features [B, H/8, W/8, 512]."""
+
+    arch: str = "VGG16-OICR"
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.compute_dtype)
+        conv_idx = 0
+        spec = VGG_CFGS[self.arch]
+        num_convs = sum(1 for v in spec if v not in ("M", "I"))
+        for v in spec:
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            elif v == "I":
+                pass
+            else:
+                if isinstance(v, str) and v.endswith("-D"):
+                    ch, dilation, pad = int(v.split("-")[0]), 2, 2
+                else:
+                    ch, dilation, pad = int(v), 1, 1
+                x = nn.Conv(ch, (3, 3), padding=[(pad, pad), (pad, pad)],
+                            kernel_dilation=(dilation, dilation),
+                            dtype=self.compute_dtype, param_dtype=jnp.float32,
+                            kernel_init=_KAIMING_OUT,
+                            name=f"conv{conv_idx}")(x)
+                conv_idx += 1
+                # the reference strips the final ReLU (vgg16.py:83)
+                if conv_idx < num_convs:
+                    x = nn.relu(x)
+        return x
+
+
+class VGGRoINeck(nn.Module):
+    """fc6/fc7 classifier head over flattened pooled RoI features.
+
+    Input [N, 7, 7, 512] (or pre-flattened [N, 7*7*512]); output [N, 4096].
+    Flattening is (h, w, c) row-major — the torch checkpoint importer
+    permutes fc6 weights from the reference's (c, h, w) order.
+    """
+
+    hidden_dim: int = 4096
+    dropout_rate: float = 0.5
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.reshape(x.shape[0], -1).astype(self.compute_dtype)
+        x = nn.Dense(self.hidden_dim, dtype=self.compute_dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.normal(0.01), name="fc6")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.compute_dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.normal(0.01), name="fc7")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x

@@ -1,0 +1,90 @@
+"""End-to-end detector smoke tests at tiny sizes (CPU).
+
+Everything is wrapped in jit — eager flax init/apply dispatches thousands of
+individual op-compiles and is pathologically slow on the 1-core test box.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odwscl_tpu.models import WSODDetector, Batch
+
+
+def _tiny_batch(rng, b=2, p=12, hw=64, c=6):
+    images = jnp.array(rng.randn(b, hw, hw, 3), jnp.float32)
+    sizes = jnp.full((b, 2), float(hw))
+    x1y1 = rng.uniform(0, hw - 24, (b, p, 2))
+    wh = rng.uniform(8, 20, (b, p, 2))
+    boxes = jnp.array(np.concatenate([x1y1, x1y1 + wh], -1), jnp.float32)
+    mask = jnp.array(rng.uniform(size=(b, p)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+    labels = np.zeros((b, c), np.float32)
+    for i in range(b):
+        labels[i, rng.randint(1, c, size=2)] = 1.0
+    return Batch(images, sizes, boxes, mask, jnp.array(labels))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = WSODDetector(num_classes=6, mlp_dim=64, cap_a=64, cap_b=32,
+                         gt_cap=16, pooler_win=8, compute_dtype="float32")
+    rng = np.random.RandomState(0)
+    batch = _tiny_batch(rng)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "augment": jax.random.PRNGKey(2)},
+        batch, train=True)
+
+    @jax.jit
+    def train_and_grad(params, b):
+        def loss_fn(p):
+            losses, metrics = model.apply(
+                {"params": p}, b, train=True,
+                rngs={"dropout": jax.random.PRNGKey(3),
+                      "augment": jax.random.PRNGKey(4)})
+            return jnp.sum(jnp.stack(list(losses.values()))), (losses, metrics)
+
+        (total, (losses, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return total, losses, metrics, grads
+
+    total, losses, metrics, grads = train_and_grad(variables["params"], batch)
+    return model, variables, batch, total, losses, metrics, grads
+
+
+def test_train_forward_losses_finite(setup):
+    _, _, _, total, losses, metrics, _ = setup
+    expected = {"loss_img", "loss_sim", "loss_ref_cls0", "loss_ref_cls1",
+                "loss_ref_cls2", "loss_ref_reg0", "loss_ref_reg1", "loss_ref_reg2"}
+    assert expected == set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert np.isfinite(float(total))
+    assert 0.0 <= float(metrics["acc_img"]) <= 1.0
+    assert float(metrics["bank_overflow"]) >= 0
+
+
+def test_grads_flow_everywhere(setup):
+    _, _, _, _, _, _, grads = setup
+    leaves = jax.tree_util.tree_leaves_with_path(grads)
+    zero = [jax.tree_util.keystr(k) for k, g in leaves
+            if float(jnp.abs(g).sum()) == 0.0]
+    assert not zero, f"zero grads: {zero}"
+    # regression: padded rois produce exactly-zero sim embeddings whose
+    # normalize VJP must not NaN (it did: 0/0 in jnp.linalg.norm backward)
+    nonfinite = [jax.tree_util.keystr(k) for k, g in leaves
+                 if not bool(jnp.all(jnp.isfinite(g)))]
+    assert not nonfinite, f"non-finite grads: {nonfinite}"
+
+
+def test_eval_forward_shapes(setup):
+    model, variables, batch = setup[:3]
+    scores, boxes = jax.jit(model.apply, static_argnames=("train",))(
+        variables, batch, train=False)
+    b, p = batch.boxes.shape[:2]
+    assert scores.shape == (b, p, 6)
+    assert boxes.shape == (b, p, 6 * 4)
+    assert np.isfinite(np.asarray(scores)).all()
+    assert np.isfinite(np.asarray(boxes)).all()

@@ -34,6 +34,13 @@ from .sim_net import SimNet
 from .predictors import PREDICTORS
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 @struct.dataclass
 class Batch:
     """One padded training/eval batch (replaces ImageList + BoxList lists)."""
@@ -117,8 +124,11 @@ class WSODDetector(nn.Module):
 
     # -- building blocks ------------------------------------------------------
     def pool(self, feats: jnp.ndarray, boxes: jnp.ndarray,
-             mask: jnp.ndarray) -> jnp.ndarray:
+             mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
         if self.pooler_method == "ROIPool":
+            if use_pallas and self.pooler_resolution == 7 and _on_tpu():
+                from ..ops.roi_pool_pallas import roi_pool_tpu
+                return roi_pool_tpu(feats, boxes, mask, self.pooler_scale)
             return roi_pool(feats, boxes, mask, self.pooler_scale,
                             self.pooler_resolution, self.pooler_win)
         return roi_align(feats, boxes, mask, self.pooler_scale,
@@ -154,9 +164,14 @@ class WSODDetector(nn.Module):
         """Returns (scores [B,P,C], boxes) per the REGRESS_HEUR heuristic
         (weak_head.py:124-145). For AVG, boxes are the decoded per-class
         regressed boxes [B,P,4C] clipped to the image; otherwise the raw
-        proposals [B,P,4]."""
+        proposals [B,P,4].
+
+        Eval uses the Pallas RoIPool kernel (5.7x the XLA fallback on v5e);
+        training keeps the XLA path, whose VJP is exact (the Pallas backward
+        kernel exceeds VMEM at large train feature maps — see
+        ops/roi_pool_pallas.py)."""
         feats = self.backbone(batch.images)
-        pooled = self.pool(feats, batch.boxes, batch.box_mask)
+        pooled = self.pool(feats, batch.boxes, batch.box_mask, use_pallas=True)
         b, p = pooled.shape[:2]
         clean = self._neck_flat(pooled.reshape(b * p, *pooled.shape[2:]),
                                 train=False).reshape(b, p, -1)

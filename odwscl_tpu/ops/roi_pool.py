@@ -37,11 +37,14 @@ def _round_half_up(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bin_edges(start: jnp.ndarray, length: jnp.ndarray, pooled: int, limit: int):
-    """Per-bin [lo, hi) cell ranges, offset and clipped (ROIPool_cuda.cu:43-56)."""
-    ph = jnp.arange(pooled, dtype=jnp.float32)
-    bin_size = length.astype(jnp.float32) / pooled
-    lo = jnp.floor(ph * bin_size).astype(jnp.int32) + start
-    hi = jnp.ceil((ph + 1.0) * bin_size).astype(jnp.int32) + start
+    """Per-bin [lo, hi) cell ranges, offset and clipped (ROIPool_cuda.cu:43-56).
+
+    Integer-exact floor/ceil (== CUDA's correctly-rounded f32 for integer
+    roi sizes; XLA fast-math division is off-by-one at exact multiples)."""
+    ph = jnp.arange(pooled, dtype=jnp.int32)
+    li = length.astype(jnp.int32)
+    lo = (ph * li) // pooled + start
+    hi = ((ph + 1) * li + (pooled - 1)) // pooled + start
     lo = jnp.clip(lo, 0, limit)
     hi = jnp.clip(hi, 0, limit)
     return lo, hi
@@ -150,14 +153,13 @@ def roi_pool_numpy(feat: np.ndarray, rois: np.ndarray, spatial_scale: float,
         y2 = int(np.floor(rois[n, 3] * spatial_scale + 0.5))
         roi_w = max(x2 - x1 + 1, 1)
         roi_h = max(y2 - y1 + 1, 1)
-        bh = roi_h / pooled
-        bw = roi_w / pooled
+        # integer-exact bin edges == CUDA's correctly-rounded f32 arithmetic
         for ph in range(pooled):
             for pw in range(pooled):
-                hs = min(max(int(np.floor(ph * bh)) + y1, 0), h)
-                he = min(max(int(np.ceil((ph + 1) * bh)) + y1, 0), h)
-                ws = min(max(int(np.floor(pw * bw)) + x1, 0), w)
-                we = min(max(int(np.ceil((pw + 1) * bw)) + x1, 0), w)
+                hs = min(max(ph * roi_h // pooled + y1, 0), h)
+                he = min(max(-((ph + 1) * roi_h // -pooled) + y1, 0), h)
+                ws = min(max(pw * roi_w // pooled + x1, 0), w)
+                we = min(max(-((pw + 1) * roi_w // -pooled) + x1, 0), w)
                 if he <= hs or we <= ws:
                     out[n, ph, pw] = 0.0
                 else:

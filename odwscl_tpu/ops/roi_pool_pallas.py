@@ -9,18 +9,22 @@ map + the pooled output (~350 MB/batch).
 
 Design:
 - A max-pool pyramid (levels 0..L-1, factor 2^l) is built in jnp (cheap,
-  differentiable). Each roi reads a static WIN x WIN window from the level
+  differentiable). Each roi reads a static WIN x WIN_W window from the level
   where its extent fits: level = ceil(log2(ext / WIN)). Level 0 (rois up to
-  WIN cells = WIN*8 px at stride 8) reproduces the CUDA semantics exactly —
-  round-half-up cell coords, floor/ceil bin edges, empty bins = 0; higher
-  levels pool over 2^l-cell superblocks (documented approximation for large
-  rois only).
+  WIN cells = 128 px at stride 8) reproduces the CUDA semantics exactly —
+  round-half-up cell coords, integer-exact floor/ceil bin edges, empty bins
+  = 0; higher levels pool over 2^l-cell superblocks (documented
+  approximation for large rois only).
 - Grid (B, C_tiles, roi_chunks), rightmost fastest: pyramid blocks
   [1, Hl, Wl, CT] have grid-constant indices along the roi axis, so Mosaic
   keeps them in VMEM across all roi chunks. Each program pools CHUNK rois
-  with a separable masked max (rows -> 7 bins, then cols -> 7 bins).
+  with a separable masked max (rows -> 7 bins, then cols -> 7 bins), built
+  from rank-3 iota masks and keepdims reductions (Mosaic rejects
+  rank-increasing reshapes of mask vectors).
+- W-axis dynamic-slice starts must be sublane (8) aligned: starts are
+  aligned down and the window widened to WIN_W = WIN + 8.
 - Backward: custom_vjp; the backward kernel recomputes each roi's window,
-  routes the bin cotangent to cells equal to the bin max (the CUDA argmax
+  routes bin cotangents to cells equal to the bin max (the CUDA argmax
   backward, modulo exact-tie double counting), and accumulates into
   per-level d_feat blocks that stay resident across roi chunks. Pyramid
   construction's own VJP is handled by XLA autodiff outside the kernel.
@@ -29,16 +33,17 @@ Design:
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 16          # window size (cells) per axis; level-0-exact up to WIN
-CHUNK = 8         # rois per program
+WIN = 16          # window rows; per-level roi extent cap (level-0-exact)
+WIN_W = 24        # window cols: WIN + 8 sublane-alignment slack
+CHUNK = 32        # rois per program (fewer, fatter programs: grid overhead dominated at 8)
 DEFAULT_LEVELS = 5
+_NEG_THRESH = -1e37  # "never written" sentinel detector (bf16/f32 safe)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -46,8 +51,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pyramid(feat: jnp.ndarray, n_levels: int):
-    """Max-pool pyramid; every level padded so Hl, Wl >= WIN (and lane-
-    aligned). Padding uses the dtype min so it never wins a max."""
+    """Max-pool pyramid; every level padded so Hl >= WIN, Wl >= WIN_W.
+    Padding uses the dtype min so it never wins a max."""
     pads = []
     levels = []
     x = feat
@@ -55,25 +60,25 @@ def _pyramid(feat: jnp.ndarray, n_levels: int):
     for l in range(n_levels):
         h, w = x.shape[1], x.shape[2]
         hp = max(_round_up(h, 8), WIN)
-        wp = max(_round_up(w, 8), WIN)
+        wp = max(_round_up(w, 8), WIN_W)
         xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
                      constant_values=neg)
         levels.append(xp)
         pads.append((h, w))
         if l + 1 < n_levels:
-            ph = h % 2
-            pw = w % 2
-            x2 = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+            x2 = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)),
                          constant_values=neg)
+            # init must be -inf: only the canonical max-pool reduce_window
+            # has a registered VJP (generic reduce_window doesn't)
             x = jax.lax.reduce_window(
-                x2, neg, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+                x2, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     return levels, pads
 
 
 def _roi_meta(rois: jnp.ndarray, mask: jnp.ndarray, spatial_scale: float,
               n_levels: int) -> jnp.ndarray:
     """Per-roi int32 metadata [B, P, 8]: x1, y1, x2, y2 (level-0 cells,
-    CUDA round-half-up), level, valid, 0, 0 (padded to 8 for alignment)."""
+    CUDA round-half-up), level, valid, 0, 0 (padded to 8)."""
     cells = jnp.floor(rois * spatial_scale + 0.5).astype(jnp.int32)
     x1, y1, x2, y2 = (cells[..., i] for i in range(4))
     rw = jnp.maximum(x2 - x1 + 1, 1)
@@ -87,68 +92,86 @@ def _roi_meta(rois: jnp.ndarray, mask: jnp.ndarray, spatial_scale: float,
                       zeros, zeros], axis=-1)
 
 
-def _bin_masks(y1l, rhl, ys, hl_real, dtype=jnp.float32):
-    """row/col bin membership [7, WIN] for one axis (ROIPool_cuda.cu:43-56)."""
-    ph = jax.lax.broadcasted_iota(jnp.int32, (7, 1), 0).astype(jnp.float32)
-    bin_sz = rhl.astype(jnp.float32) / 7.0
-    lo = jnp.clip(jnp.floor(ph * bin_sz).astype(jnp.int32) + y1l, 0, hl_real)
-    hi = jnp.clip(jnp.ceil((ph + 1.0) * bin_sz).astype(jnp.int32) + y1l,
-                  0, hl_real)
-    rows = ys + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
-    member = (rows >= lo) & (rows < hi)  # [7, WIN]
-    empty = (hi <= lo)[:, 0]             # [7]
-    return member, empty
+def _pick_roi(meta, r, feat_refs, level_dims):
+    """Per-roi scalars + the window selected from the roi's pyramid level.
 
-
-def _window_and_params(meta, r, feat_refs, level_dims):
-    """Load the roi's window from every level and select by its level.
-    Returns window [WIN, WIN, CT], row/col masks [7, WIN], empty [7,7]."""
+    Returns (window [WIN, WIN_W, CT] f32, y1l, x1l, rhl, rwl, ys, xs,
+    hl_real, wl_real, valid) — all scalars traced, selected with binary
+    wheres (Mosaic select_n only supports 2 cases)."""
     x1 = meta[0, r, 0]
     y1 = meta[0, r, 1]
     x2 = meta[0, r, 2]
     y2 = meta[0, r, 3]
     lvl = meta[0, r, 4]
+    valid = meta[0, r, 5] > 0
 
-    windows = []
-    rowms, colms, emptys = [], [], []
-    for l, (ref, (hl_real, wl_real)) in enumerate(zip(feat_refs, level_dims)):
+    window = None
+    scalars = None
+    for l, (ref, (hl, wl)) in enumerate(zip(feat_refs, level_dims)):
         y1l, x1l, y2l, x2l = y1 >> l, x1 >> l, y2 >> l, x2 >> l
         rhl = jnp.maximum(y2l - y1l + 1, 1)
         rwl = jnp.maximum(x2l - x1l + 1, 1)
         hp, wp = ref.shape[1], ref.shape[2]
         ys = jnp.clip(y1l, 0, hp - WIN)
-        xs = jnp.clip(x1l, 0, wp - WIN)
-        win = ref[0, pl.ds(ys, WIN), pl.ds(xs, WIN), :]
-        row_m, row_e = _bin_masks(y1l, rhl, ys, hl_real)
-        col_m, col_e = _bin_masks(x1l, rwl, xs, wl_real)
-        windows.append(win)
-        rowms.append(row_m)
-        colms.append(col_m)
-        emptys.append(row_e[:, None] | col_e[None, :])
+        xs = jnp.clip((jnp.clip(x1l, 0, wp - 1) // 8) * 8, 0, wp - WIN_W)
+        win = ref[0, pl.ds(ys, WIN), pl.ds(pl.multiple_of(xs, 8), WIN_W), :]
+        win = win.astype(jnp.float32)
+        sc = (y1l, x1l, rhl, rwl, ys, xs,
+              jnp.asarray(hl, jnp.int32), jnp.asarray(wl, jnp.int32))
+        if window is None:
+            window, scalars = win, sc
+        else:
+            is_l = lvl == l
+            window = jnp.where(is_l, win, window)
+            scalars = tuple(jnp.where(is_l, a, b) for a, b in zip(sc, scalars))
+    return (window,) + scalars + (valid,)
 
-    lvl_c = jnp.clip(lvl, 0, len(feat_refs) - 1)
-    window = jax.lax.select_n(lvl_c, *windows) if len(windows) > 1 else windows[0]
-    row_m = jax.lax.select_n(lvl_c, *rowms) if len(rowms) > 1 else rowms[0]
-    col_m = jax.lax.select_n(lvl_c, *colms) if len(colms) > 1 else colms[0]
-    empty = jax.lax.select_n(lvl_c, *emptys) if len(emptys) > 1 else emptys[0]
-    valid = meta[0, r, 5] > 0
-    return window, row_m, col_m, empty | jnp.logical_not(valid)
+
+def _bin_edges_scalar(k: int, start, length, limit):
+    """Integer-exact CUDA bin edges for bin k (static) along one axis."""
+    lo = jnp.clip((k * length) // 7 + start, 0, limit)
+    hi = jnp.clip(((k + 1) * length + 6) // 7 + start, 0, limit)
+    return lo, hi
+
+
+def _row_stage(window, y1l, rhl, ys, hl):
+    """rows -> 7 row-bins: list of 7 [1, WIN_W, CT] masked maxima."""
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1, 1), 0) + ys
+    out = []
+    for ph in range(7):
+        lo, hi = _bin_edges_scalar(ph, y1l, rhl, hl)
+        m = (rows3 >= lo) & (rows3 < hi)
+        out.append(jnp.max(jnp.where(m, window, _NEG_THRESH * 10.0),
+                           axis=0, keepdims=True))
+    return out  # 7 x [1, WIN_W, CT]
+
+
+def _col_masks(x1l, rwl, xs, wl):
+    cols3 = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_W, 1), 1) + xs
+    masks = []
+    for pw in range(7):
+        lo, hi = _bin_edges_scalar(pw, x1l, rwl, wl)
+        masks.append((cols3 >= lo) & (cols3 < hi))
+    return masks  # 7 x [1, WIN_W, 1]
 
 
 def _fwd_kernel(meta_ref, *refs, n_levels, level_dims):
     feat_refs = refs[:n_levels]
     out_ref = refs[n_levels]
-    neg = jnp.asarray(jnp.finfo(out_ref.dtype).min, out_ref.dtype)
     for r in range(CHUNK):
-        window, row_m, col_m, empty = _window_and_params(
+        (window, y1l, x1l, rhl, rwl, ys, xs, hl, wl, valid) = _pick_roi(
             meta_ref, r, feat_refs, level_dims)
-        # separable masked max: rows -> [7, WIN, CT]; cols -> [7, 7, CT]
-        tmp = jnp.max(jnp.where(row_m[:, :, None, None],
-                                window[None, :, :, :], neg), axis=1)
-        res = jnp.max(jnp.where(col_m[None, :, :, None],
-                                tmp[:, None, :, :], neg), axis=2)
-        res = jnp.where(empty[:, :, None], jnp.zeros_like(res), res)
-        out_ref[0, r] = res
+        tmp = jnp.concatenate(_row_stage(window, y1l, rhl, ys, hl), axis=0)
+        cmasks = _col_masks(x1l, rwl, xs, wl)
+        res_cols = []
+        for pw in range(7):
+            masked = jnp.where(cmasks[pw], tmp, _NEG_THRESH * 10.0)
+            res_cols.append(jnp.max(masked, axis=1, keepdims=True))  # [7,1,CT]
+        res = jnp.concatenate(res_cols, axis=1)  # [7, 7, CT]
+        # empty bins / padded rois -> exactly 0 (ROIPool_cuda.cu:57-60)
+        ok = (res > _NEG_THRESH) & valid
+        res = jnp.where(ok, res, 0.0)
+        out_ref[0, r] = res.astype(out_ref.dtype)
 
 
 def _bwd_kernel(meta_ref, *refs, n_levels, level_dims):
@@ -162,67 +185,71 @@ def _bwd_kernel(meta_ref, *refs, n_levels, level_dims):
         for dref in dfeat_refs:
             dref[...] = jnp.zeros(dref.shape, dref.dtype)
 
-    neg_f = jnp.asarray(jnp.finfo(feat_refs[0].dtype).min, feat_refs[0].dtype)
     for r in range(CHUNK):
         x1 = meta_ref[0, r, 0]
         y1 = meta_ref[0, r, 1]
         x2 = meta_ref[0, r, 2]
         y2 = meta_ref[0, r, 3]
         lvl = meta_ref[0, r, 4]
-        valid = meta_ref[0, r, 5]
-        for l, (ref, dref, (hl_real, wl_real)) in enumerate(
+        valid = meta_ref[0, r, 5] > 0
+        for l, (ref, dref, (hl, wl)) in enumerate(
                 zip(feat_refs, dfeat_refs, level_dims)):
             y1l, x1l, y2l, x2l = y1 >> l, x1 >> l, y2 >> l, x2 >> l
             rhl = jnp.maximum(y2l - y1l + 1, 1)
             rwl = jnp.maximum(x2l - x1l + 1, 1)
             hp, wp = ref.shape[1], ref.shape[2]
             ys = jnp.clip(y1l, 0, hp - WIN)
-            xs = jnp.clip(x1l, 0, wp - WIN)
-            window = ref[0, pl.ds(ys, WIN), pl.ds(xs, WIN), :]
-            row_m, row_e = _bin_masks(y1l, rhl, ys, hl_real)
-            col_m, col_e = _bin_masks(x1l, rwl, xs, wl_real)
-            # recompute the separable forward maxima for this level
-            tmp = jnp.max(jnp.where(row_m[:, :, None, None],
-                                    window[None, :, :, :], neg_f), axis=1)
-            res = jnp.max(jnp.where(col_m[None, :, :, None],
-                                    tmp[:, None, :, :], neg_f), axis=2)
-            g = g_ref[0, r].astype(jnp.float32)  # [7, 7, CT]
-            empty = row_e[:, None] | col_e[None, :]
-            active = (lvl == l) & (valid > 0)
-            g = jnp.where((~empty[:, :, None]) & active, g, 0.0)
-            # separable argmax routing (the CUDA backward, modulo exact ties):
-            # cols: d_tmp[ph, j] = sum_pw [col_m & tmp==res] g[ph, pw]
-            wf = window.astype(jnp.float32)
-            tf = tmp.astype(jnp.float32)
-            rf = res.astype(jnp.float32)
+            xs = jnp.clip((jnp.clip(x1l, 0, wp - 1) // 8) * 8, 0, wp - WIN_W)
+            xs = pl.multiple_of(xs, 8)
+            window = ref[0, pl.ds(ys, WIN), pl.ds(xs, WIN_W), :].astype(
+                jnp.float32)
+            active = (lvl == l) & valid
+
+            tmp = jnp.concatenate(_row_stage(window, y1l, rhl, ys, hl), axis=0)
+            cmasks = _col_masks(x1l, rwl, xs, wl)
             d_tmp = jnp.zeros(tmp.shape, jnp.float32)
             for pw in range(7):
-                sel = col_m[None, pw, :, None] & (tf == rf[:, pw, None, :])
-                d_tmp = d_tmp + jnp.where(sel, g[:, pw, None, :], 0.0)
-            # rows: d_window[i, j] = sum_ph [row_m & window==tmp] d_tmp[ph, j]
+                masked = jnp.where(cmasks[pw], tmp, _NEG_THRESH * 10.0)
+                res_pw = jnp.max(masked, axis=1, keepdims=True)  # [7,1,CT]
+                g_pw = g_ref[0, r, :, pw:pw + 1, :].astype(jnp.float32)
+                g_pw = jnp.where((res_pw > _NEG_THRESH) & active, g_pw, 0.0)
+                d_tmp = d_tmp + jnp.where(masked == res_pw, g_pw, 0.0)
+
+            rows3 = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1, 1), 0) + ys
             d_window = jnp.zeros(window.shape, jnp.float32)
             for ph in range(7):
-                sel = row_m[ph, :, None, None] & (wf == tf[ph, None, :, :])
-                d_window = d_window + jnp.where(sel, d_tmp[ph, None, :, :], 0.0)
-            cur = dref[0, pl.ds(ys, WIN), pl.ds(xs, WIN), :]
-            dref[0, pl.ds(ys, WIN), pl.ds(xs, WIN), :] = (
+                lo, hi = _bin_edges_scalar(ph, y1l, rhl, hl)
+                m = (rows3 >= lo) & (rows3 < hi)
+                masked_w = jnp.where(m, window, _NEG_THRESH * 10.0)
+                tmp_ph = jnp.max(masked_w, axis=0, keepdims=True)
+                d_t_ph = d_tmp[ph:ph + 1]
+                d_window = d_window + jnp.where(masked_w == tmp_ph, d_t_ph, 0.0)
+
+            cur = dref[0, pl.ds(ys, WIN), pl.ds(xs, WIN_W), :]
+            dref[0, pl.ds(ys, WIN), pl.ds(xs, WIN_W), :] = (
                 cur + d_window.astype(dref.dtype))
 
 
-def _choose_ct(h: int, w: int, c: int, n_levels: int) -> int:
-    """Channel tile so all resident level blocks fit comfortably in VMEM."""
-    budget = 10 * 1024 * 1024  # bytes for pyramid blocks (fwd) / 2x (bwd)
-    for ct in (128, 64, 32):
-        if ct > c:
-            continue
+def _choose_ct(h: int, w: int, c: int, n_levels: int,
+               bytes_per_el: int = 2) -> int:
+    """Channel tile so all resident level blocks fit in scoped VMEM.
+
+    bytes_per_el: 2 for the forward (bf16 pyramid inputs only); 6 for the
+    backward (bf16 inputs + f32 d_feat output blocks resident together)."""
+    budget = 8 * 1024 * 1024
+    candidates = [ct for ct in (128, 64, 32, 16, 8) if ct <= c and c % ct == 0]
+    if not candidates:
+        return c
+    for ct in candidates:
         total = 0
         hh, ww = h, w
         for _ in range(n_levels):
-            total += max(_round_up(hh, 8), WIN) * max(_round_up(ww, 8), WIN) * ct * 2
+            total += (max(_round_up(hh, 8), WIN)
+                      * max(_round_up(ww, 8), WIN_W) * ct * bytes_per_el)
             hh, ww = -(-hh // 2), -(-ww // 2)
         if total <= budget:
             return ct
-    return 32
+    return candidates[-1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -237,8 +264,6 @@ def _run_fwd(levels, pads, meta, b, p, c, ct, dtype, interpret=False):
     n_levels = len(levels)
     rc = p // CHUNK
     grid = (b, c // ct, rc)
-    level_dims = tuple(pads)
-
     in_specs = [pl.BlockSpec((1, CHUNK, 8), lambda bi, ci, ri: (bi, ri, 0),
                              memory_space=pltpu.SMEM)]
     for lv in levels:
@@ -251,7 +276,7 @@ def _run_fwd(levels, pads, meta, b, p, c, ct, dtype, interpret=False):
                             lambda bi, ci, ri: (bi, ri, 0, 0, ci),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, n_levels=n_levels,
-                               level_dims=level_dims)
+                               level_dims=tuple(pads))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -286,8 +311,8 @@ def _roi_pool_tpu_bwd(spatial_scale, pooled, n_levels, residuals, g):
     rois_p = jnp.pad(rois, ((0, 0), (0, pad_p), (0, 0)))
     mask_p = jnp.pad(roi_mask, ((0, 0), (0, pad_p)))
     meta = _roi_meta(rois_p, mask_p, spatial_scale, n_levels)
-    g_p = jnp.pad(g.astype(feat.dtype), ((0, 0), (0, pad_p), (0, 0), (0, 0),
-                                         (0, 0)))
+    g_p = jnp.pad(g.astype(jnp.float32),
+                  ((0, 0), (0, pad_p), (0, 0), (0, 0), (0, 0)))
 
     def pyr_fn(f):
         levels, _ = _pyramid(f, n_levels)
@@ -295,7 +320,7 @@ def _roi_pool_tpu_bwd(spatial_scale, pooled, n_levels, residuals, g):
 
     levels, pyr_vjp = jax.vjp(pyr_fn, feat)
     _, pads = _pyramid(feat, n_levels)
-    ct = _choose_ct(h, w, c, n_levels)
+    ct = _choose_ct(h, w, c, n_levels, bytes_per_el=6)
 
     rc = (p + pad_p) // CHUNK
     grid = (b, c // ct, rc)
@@ -326,7 +351,6 @@ def _roi_pool_tpu_bwd(spatial_scale, pooled, n_levels, residuals, g):
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
-        interpret=False,
     )(meta, *levels, g_p)
     (d_feat,) = pyr_vjp(tuple(dl.astype(lv.dtype)
                               for dl, lv in zip(d_levels, levels)))

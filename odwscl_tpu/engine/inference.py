@@ -138,6 +138,7 @@ class Inferencer:
 
         transforms = self.tta.transforms()
         sum_scores = sum_boxes = None
+        union_scores, union_boxes = [], []
         ref_sizes = None  # identity-transform sizes (w,h) per image
         mask0 = None
         for t_i, tr in enumerate(transforms):
@@ -160,10 +161,16 @@ class Inferencer:
                 if self.tta.heur == "AVG":
                     sum_scores = sum_scores + scores
                     sum_boxes = sum_boxes + boxes
-                else:
-                    raise NotImplementedError(
-                        "UNION TTA merge not implemented; shipped configs use AVG")
+            if self.tta.heur == "UNION":  # bbox_aug.py:56-58: concat then NMS
+                union_scores.append(scores)
+                union_boxes.append(boxes)
             # proposal masks coincide across transforms (fixed proposals)
+        if self.tta.heur == "UNION":
+            n = len(transforms)
+            scores_u = jnp.concatenate(union_scores, axis=1)
+            boxes_u = jnp.concatenate(union_boxes, axis=1)
+            mask_u = jnp.concatenate([mask0] * n, axis=1)
+            return self._finalize(scores_u, boxes_u, mask_u)
         n = len(transforms)
         return self._finalize(sum_scores / n, sum_boxes / n, mask0)
 

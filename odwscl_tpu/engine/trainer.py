@@ -45,6 +45,9 @@ def create_train_state(model: WSODDetector, cfg, example_batch: Batch,
     cdb_cfg = cfg.SOLVER_CDB if model.db_method == "concrete" else None
     tx, schedule = make_optimizer(cfg.SOLVER, params, freeze_conv_count,
                                   cdb_cfg, cfg.DB.WEIGHT)
+    if cfg.SOLVER.ITER_SIZE > 1:
+        # gradient accumulation (reference SOLVER.ITER_SIZE + trainer.py:118)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.SOLVER.ITER_SIZE)
     state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
                        opt_state=tx.init(params), rng=s_rng)
     return state, tx, schedule

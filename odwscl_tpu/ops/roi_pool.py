@@ -125,10 +125,17 @@ def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray, roi_mask: jnp.ndarray,
     mask_p = jnp.pad(roi_mask, ((0, 0), (0, pad)))
     nch = (p + pad) // chunk
 
+    # remat: without it the scan saves each chunk's gathered windows as
+    # residuals for the backward pass (observed 120 GB allocation); with it
+    # the windows are recomputed chunk-by-chunk in the VJP.
+    @jax.checkpoint
+    def body_fn(r, m):
+        return fn(feat, r, m, spatial_scale, pooled, win)
+
     def body(_, i):
         r = jax.lax.dynamic_slice_in_dim(rois_p, i * chunk, chunk, axis=1)
         m = jax.lax.dynamic_slice_in_dim(mask_p, i * chunk, chunk, axis=1)
-        return None, fn(feat, r, m, spatial_scale, pooled, win)
+        return None, body_fn(r, m)
 
     _, outs = jax.lax.scan(body, None, jnp.arange(nch))
     # [nch, B, chunk, r, r, C] -> [B, P, r, r, C]

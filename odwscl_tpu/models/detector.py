@@ -127,8 +127,11 @@ class WSODDetector(nn.Module):
              mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
         if self.pooler_method == "ROIPool":
             if use_pallas and self.pooler_resolution == 7 and _on_tpu():
-                from ..ops.roi_pool_pallas import roi_pool_tpu
-                return roi_pool_tpu(feats, boxes, mask, self.pooler_scale)
+                from ..ops.roi_pool_pallas import (roi_pool_tpu,
+                                                   pallas_pool_feasible)
+                b, h, w, c = feats.shape
+                if pallas_pool_feasible(h, w, c):
+                    return roi_pool_tpu(feats, boxes, mask, self.pooler_scale)
             return roi_pool(feats, boxes, mask, self.pooler_scale,
                             self.pooler_resolution, self.pooler_win)
         return roi_align(feats, boxes, mask, self.pooler_scale,

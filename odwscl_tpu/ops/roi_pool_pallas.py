@@ -232,24 +232,28 @@ def _bwd_kernel(meta_ref, *refs, n_levels, level_dims):
 
 def _choose_ct(h: int, w: int, c: int, n_levels: int,
                bytes_per_el: int = 2) -> int:
-    """Channel tile so all resident level blocks fit in scoped VMEM.
+    """Channel tile: Mosaic requires the lane (last) block dim to be a
+    multiple of 128 or the full dim, so the tile is 128 whenever possible;
+    `pallas_pool_feasible` gates shapes whose resident blocks would not fit
+    VMEM at that tile."""
+    del h, w, n_levels, bytes_per_el
+    return 128 if c % 128 == 0 else c
 
-    bytes_per_el: 2 for the forward (bf16 pyramid inputs only); 6 for the
-    backward (bf16 inputs + f32 d_feat output blocks resident together)."""
-    budget = 8 * 1024 * 1024
-    candidates = [ct for ct in (128, 64, 32, 16, 8) if ct <= c and c % ct == 0]
-    if not candidates:
-        return c
-    for ct in candidates:
-        total = 0
-        hh, ww = h, w
-        for _ in range(n_levels):
-            total += (max(_round_up(hh, 8), WIN)
-                      * max(_round_up(ww, 8), WIN_W) * ct * bytes_per_el)
-            hh, ww = -(-hh // 2), -(-ww // 2)
-        if total <= budget:
-            return ct
-    return candidates[-1]
+
+def pallas_pool_feasible(h: int, w: int, c: int,
+                         n_levels: int = DEFAULT_LEVELS) -> bool:
+    """True if the resident pyramid blocks fit VMEM at ct=128 (the minimum
+    lane-aligned channel tile), double-buffering included. Callers fall back
+    to the XLA path above this size (largest TTA scales)."""
+    if c % 128 != 0:
+        return False
+    total = 0
+    hh, ww = h, w
+    for _ in range(n_levels):
+        total += (max(_round_up(hh, 8), WIN)
+                  * max(_round_up(ww, 8), WIN_W) * 128 * 2)  # bf16 bytes
+        hh, ww = -(-hh // 2), -(-ww // 2)
+    return total * 2 <= 14 * 1024 * 1024  # x2 double-buffering
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

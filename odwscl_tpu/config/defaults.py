@@ -164,6 +164,9 @@ _C.TPU.PROPOSAL_BUCKETS = (512, 1024, 2048, 4096)
 # Image (H, W) padding: round each side up to a multiple of this after the
 # /32 SIZE_DIVISIBILITY pad, to bound the number of compiled shapes.
 _C.TPU.IMAGE_PAD_MULTIPLE = 128
+# Train-path RoIPool window (cells per axis): exact for rois up to
+# WIN*stride px, strided subsample beyond; backward traffic scales as WIN^2.
+_C.TPU.POOLER_WIN = 32
 # Capacity of the compacted contrastive bank (unique (image, class, proposal)
 # slots; x3 views). Overflow beyond capacity is dropped lowest-hardness-first.
 _C.TPU.BANK_CAPACITY = 1024

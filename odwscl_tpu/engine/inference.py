@@ -186,7 +186,8 @@ class Inferencer:
 
 
 def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
-              task: str = "det", use_cached: bool = True):
+              task: str = "det", use_cached: bool = True, vis: bool = False,
+              vis_limit: int = 20):
     """Full dataset inference + evaluation (engine/inference.py:72-135)."""
     from ..evaluation.voc_eval import do_voc_evaluation, do_corloc_evaluation
     from ..evaluation.coco_eval import do_coco_evaluation
@@ -232,6 +233,24 @@ def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
         if pred_path:
             with open(pred_path, "wb") as f:
                 pickle.dump(predictions, f)
+
+    if vis and output_folder:
+        # annotated jpgs for the first images (reference engine/inference.py
+        # vis_results; opt-in here instead of the reference's `if True:` quirk)
+        from ..utils.visualize import vis_results
+        from PIL import Image
+        import os as _os
+        imgs, dets = [], []
+        for i in range(min(vis_limit, len(predictions))):
+            info = dataset.get_img_info(i)
+            img_path = _os.path.join(getattr(dataset, "root", ""),
+                                     info["file_name"])
+            if _os.path.exists(img_path):
+                imgs.append(np.asarray(Image.open(img_path).convert("RGB")))
+                dets.append(predictions[i])
+        if imgs:
+            vis_results(dets, imgs, _os.path.join(output_folder, "vis"),
+                        class_names=getattr(dataset, "CLASSES", None))
 
     if task == "corloc":
         return do_corloc_evaluation(dataset, predictions, output_folder)

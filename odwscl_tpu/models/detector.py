@@ -327,6 +327,7 @@ def detector_from_cfg(cfg) -> WSODDetector:
         loss_type=cfg.loss,
         fg_iou=cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
         reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
+        pooler_win=cfg.TPU.POOLER_WIN,
         cap_a=cfg.TPU.BANK_CAPACITY,
         cap_b=max(cfg.TPU.BANK_CAPACITY // 4, 64),
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,

@@ -69,7 +69,7 @@ def main():
         out = os.path.join(cfg.OUTPUT_DIR, "inference", name)
         mkdir(out)
         inference(model, variables, cfg, loader, loader.dataset, out,
-                  task=args.task)
+                  task=args.task, vis=args.vis)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ def create_train_state(model: WSODDetector, cfg, example_batch: Batch,
     # mining graph (eager or full-graph init takes minutes; this is seconds)
     variables = jax.jit(
         lambda r, b: model.init(r, b, method="init_all"))(
-        {"params": p_rng}, example_batch)
+        {"params": p_rng, "augment": a_rng}, example_batch)
     params = variables["params"]
     cdb_cfg = cfg.SOLVER_CDB if model.db_method == "concrete" else None
     tx, schedule = make_optimizer(cfg.SOLVER, params, freeze_conv_count,

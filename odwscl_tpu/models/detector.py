@@ -160,7 +160,9 @@ class WSODDetector(nn.Module):
         z = self.sim_net(clean)
         out = self.pred(clean.reshape(b, p, -1), batch.box_mask, train=True)
         if self.db_method == "concrete":
-            _ = self.cdb(flat, batch.box_mask.reshape(-1), train=False)
+            # train=True so the conv params are created (train=False is an
+            # early-return identity); needs the 'augment' rng at init
+            _ = self.cdb(flat, batch.box_mask.reshape(-1), train=True)
         return z, out
 
     def eval_forward(self, batch: Batch):

@@ -146,15 +146,12 @@ def main():
               if args.use_tensorboard else MetricLogger())
     mesh = make_mesh(tuple(cfg.TPU.MESH_AXES))
 
-    if cfg.DB.METHOD == "concrete":
-        from odwscl_tpu.engine.trainer_cdb import do_train_cdb
-        state = do_train_cdb(model, state, tx, schedule, cfg, loader,
-                             checkpointer=ckpt, mesh=mesh, meters=meters,
-                             start_iter=start_iter)
-    else:
-        state = do_train(model, state, tx, schedule, iter(loader),
-                         cfg.SOLVER.MAX_ITER, cfg.SOLVER.CHECKPOINT_PERIOD,
-                         ckpt, mesh=mesh, meters=meters, start_iter=start_iter)
+    # DB.METHOD == "concrete" trains through the same step: the CDB's
+    # adversarial ascent is fused into the optimizer (solver/build.py),
+    # replacing the reference's second forward/backward (trainer.py:160-236)
+    state = do_train(model, state, tx, schedule, iter(loader),
+                     cfg.SOLVER.MAX_ITER, cfg.SOLVER.CHECKPOINT_PERIOD,
+                     ckpt, mesh=mesh, meters=meters, start_iter=start_iter)
 
     if not args.skip_test:
         run_test(cfg, model, {"params": state.params}, args.data_root)

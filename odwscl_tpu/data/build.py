@@ -131,17 +131,25 @@ class EvalLoader:
             s = self.dataset[int(i)]
             return self.transform(s) if self.transform is not None else s
 
+        def collate(samples):
+            # with TTA the per-transform resize happens inside the
+            # Inferencer (BBoxAugCollator semantics: raw samples pass
+            # through, collate_batch.py:30); no device batch here
+            if self.transform is None:
+                return None
+            return self.collator(samples)
+
         with futures.ThreadPoolExecutor(self.num_workers) as pool:
             pending, pending_idx = None, None
             for batch_idx in self.sampler:
                 fs = [pool.submit(load, i) for i in batch_idx]
                 if pending is not None:
                     samples = [f.result() for f in pending]
-                    yield self.collator(samples), samples, pending_idx
+                    yield collate(samples), samples, pending_idx
                 pending, pending_idx = fs, batch_idx
             if pending is not None:
                 samples = [f.result() for f in pending]
-                yield self.collator(samples), samples, pending_idx
+                yield collate(samples), samples, pending_idx
 
 
 def make_train_loader(cfg, start_iter: int = 0, data_root: str = "datasets",

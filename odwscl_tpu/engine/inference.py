@@ -64,23 +64,6 @@ class TTAConfig:
         return out
 
 
-def _unflip_boxes(boxes: np.ndarray, width: float) -> np.ndarray:
-    out = boxes.copy()
-    # boxes laid out [..., 4K]: flip each (x1, x2) pair
-    x1 = out[..., 0::4].copy()
-    x2 = out[..., 2::4].copy()
-    out[..., 0::4] = width - 1 - x2
-    out[..., 2::4] = width - 1 - x1
-    return out
-
-
-def _rescale_boxes(boxes: np.ndarray, rw: float, rh: float) -> np.ndarray:
-    out = boxes.copy()
-    out[..., 0::2] *= rw
-    out[..., 1::2] *= rh
-    return out
-
-
 @jax.jit
 def _unflip_boxes_device(boxes, widths):
     """boxes [B,P,4K]; widths [B]. BoxList.transpose(0) semantics."""

@@ -50,7 +50,6 @@ def supcon_v2_loss(features: jnp.ndarray, labels: jnp.ndarray,
     m = multiplicity.astype(jnp.float32)
 
     same = (labels[:, None] == labels[None, :]) & valid[:, None] & col_valid
-    eye = jnp.eye(e, dtype=bool)
     diag_exp = jnp.diagonal(exp_sim)
 
     # sum over all other entries, counting multiplicity; each copy excludes

@@ -46,20 +46,27 @@ def main():
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "augment": jax.random.PRNGKey(2)}, batch, train=True)
 
-    # scalar-reduced output: on the axon platform block_until_ready on large
-    # outputs does not reliably fence, and device->host transfers are slow;
-    # fetching a fused scalar gives honest step timing.
-    @jax.jit
-    def fwd(v, bt):
-        scores, boxes = model.apply(v, bt, train=False)
-        return jnp.sum(scores) + jnp.sum(boxes)
-
-    float(fwd(variables, batch))  # compile + warmup
-
+    # timing protocol: ITERS forwards chained inside ONE jit, fetched as a
+    # fused scalar. Per-dispatch tunnel latency on this platform is ~36 ms
+    # and block_until_ready on large outputs does not reliably fence —
+    # chaining measures pure device throughput, which is what a pipelined
+    # serving loop (dispatch-ahead) achieves in practice.
     iters = 10
+
+    @jax.jit
+    def fwd_chain(v, bt):
+        def body(i, acc):
+            # the carry feeds the input so XLA cannot hoist the
+            # loop-invariant forward out of the loop
+            bt2 = bt.replace(images=bt.images + (acc * 1e-30).astype(
+                bt.images.dtype))
+            scores, boxes = model.apply(v, bt2, train=False)
+            return acc + jnp.sum(scores) + jnp.sum(boxes) * 1e-9
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(fwd_chain(variables, batch))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        s = float(fwd(variables, batch))
+    s = float(fwd_chain(variables, batch))
     dt = time.perf_counter() - t0
 
     n_chips = max(jax.local_device_count(), 1)

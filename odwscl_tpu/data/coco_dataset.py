@@ -106,9 +106,37 @@ class COCODataset:
         gt_boxes[:, 1::2] = gt_boxes[:, 1::2].clip(0, h - 1)
         rois = (self.proposals.get(int(img_id), img.size)
                 if self.proposals is not None else None)
+
+        # partial-label supervision fields (reference coco.py:155-172):
+        # per-annotation 'point' [x, y] clicks and 'scribble' polylines
+        # (reduced to their bounding box; empty -> the [1,2,3,4] sentinel)
+        anns = [a for a in self.coco.img_to_anns[img_id]
+                if a.get("iscrowd", 0) == 0]
+        clicks = click_labels = scribbles = scribble_labels = None
+        if anns and "point" in anns[0]:
+            clicks = np.asarray([a["point"][:2] for a in anns],
+                                np.float32).reshape(-1, 2)
+            click_labels = np.asarray(
+                [self.json_category_id_to_contiguous_id[a["category_id"]]
+                 for a in anns], np.int64)
+        if anns and "scribble" in anns[0]:
+            sb = []
+            for a in anns:
+                sc = a["scribble"]
+                if len(sc[0]) == 0:
+                    sb.append([1.0, 2.0, 3.0, 4.0])  # coco.py:166 sentinel
+                else:
+                    sb.append([min(sc[0]), min(sc[1]), max(sc[0]), max(sc[1])])
+            scribbles = np.asarray(sb, np.float32).reshape(-1, 4)
+            scribble_labels = np.asarray(
+                [self.json_category_id_to_contiguous_id[a["category_id"]]
+                 for a in anns], np.int64)
+
         return Sample(image=img, size=img.size, gt_boxes=gt_boxes,
                       gt_labels=gt_labels, gt_difficult=gt_diff, rois=rois,
-                      image_id=index)
+                      image_id=index, clicks=clicks,
+                      click_labels=click_labels, scribbles=scribbles,
+                      scribble_labels=scribble_labels)
 
     def map_class_id_to_class_name(self, class_id):
         json_id = self.contiguous_category_id_to_json_id.get(class_id)

@@ -87,8 +87,39 @@ class BatchCollator:
 
         labels = np.stack([image_labels(s.gt_labels, self.num_classes)
                            for s in samples])
+
+        # partial-label fields, padded to a fixed 32-slot cap (images rarely
+        # carry more than a handful of clicks/scribbles)
+        extra = {}
+        if any(s.clicks is not None and len(s.clicks) for s in samples):
+            k = 32
+            clk = np.zeros((b, k, 2), np.float32)
+            clab = np.zeros((b, k), np.int32)
+            cm = np.zeros((b, k), bool)
+            for i, s in enumerate(samples):
+                if s.clicks is None or not len(s.clicks):
+                    continue
+                n = min(len(s.clicks), k)
+                clk[i, :n] = s.clicks[:n]
+                clab[i, :n] = s.click_labels[:n]
+                cm[i, :n] = True
+            extra.update(clicks=clk, click_labels=clab, click_mask=cm)
+        if any(s.scribbles is not None and len(s.scribbles) for s in samples):
+            k = 32
+            scr = np.zeros((b, k, 4), np.float32)
+            slab = np.zeros((b, k), np.int32)
+            sm = np.zeros((b, k), bool)
+            for i, s in enumerate(samples):
+                if s.scribbles is None or not len(s.scribbles):
+                    continue
+                n = min(len(s.scribbles), k)
+                scr[i, :n] = s.scribbles[:n]
+                slab[i, :n] = s.scribble_labels[:n]
+                sm[i, :n] = True
+            extra.update(scribbles=scr, scribble_labels=slab,
+                         scribble_mask=sm)
         return Batch(images=images, image_sizes=sizes, boxes=boxes,
-                     box_mask=mask, labels=labels)
+                     box_mask=mask, labels=labels, **extra)
 
 
 def collator_from_cfg(cfg) -> BatchCollator:

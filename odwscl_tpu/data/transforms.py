@@ -38,6 +38,12 @@ class Sample:
     gt_difficult: Optional[np.ndarray] = None
     rois: Optional[np.ndarray] = None
     image_id: Optional[object] = None
+    # partial-label supervision (reference coco.py:155-172: per-object
+    # 'point' clicks / 'scribble' boxes, labels shared with gt_labels)
+    clicks: Optional[np.ndarray] = None          # [K, 2] (x, y)
+    click_labels: Optional[np.ndarray] = None    # [K]
+    scribbles: Optional[np.ndarray] = None       # [S, 4] xyxy
+    scribble_labels: Optional[np.ndarray] = None  # [S]
 
 
 def get_resize_size(size_wh: Tuple[int, int], min_size: int,
@@ -82,7 +88,9 @@ def resize(sample: Sample, min_size, max_size, rng: Optional[np.random.RandomSta
 
     return dataclasses.replace(sample, image=img, size=(ow, oh),
                                gt_boxes=scale(sample.gt_boxes),
-                               rois=scale(sample.rois))
+                               rois=scale(sample.rois),
+                               clicks=scale(sample.clicks),
+                               scribbles=scale(sample.scribbles))
 
 
 def hflip(sample: Sample) -> Sample:
@@ -101,8 +109,47 @@ def hflip(sample: Sample) -> Sample:
         out[:, 2] = w - b[:, 0] - 1
         return out
 
+    def flip_pts(p):  # Click.transpose (keypoint.py:200-209)
+        if p is None or len(p) == 0:
+            return p
+        out = p.copy()
+        out[:, 0] = w - p[:, 0] - 1
+        return out
+
     return dataclasses.replace(sample, image=img, gt_boxes=flip(sample.gt_boxes),
-                               rois=flip(sample.rois))
+                               rois=flip(sample.rois),
+                               clicks=flip_pts(sample.clicks),
+                               scribbles=flip(sample.scribbles))
+
+
+def vflip(sample: Sample) -> Sample:
+    """Vertical flip (reference transforms.py:87-99, BoxList.transpose(1))."""
+    img = sample.image
+    if isinstance(img, np.ndarray):
+        img = img[::-1]
+    else:
+        img = img.transpose(Image.FLIP_TOP_BOTTOM)
+    h = sample.size[1]
+
+    def flip(b):
+        if b is None or len(b) == 0:
+            return b
+        out = b.copy()
+        out[:, 1] = h - b[:, 3] - 1
+        out[:, 3] = h - b[:, 1] - 1
+        return out
+
+    def flip_pts(p):
+        if p is None or len(p) == 0:
+            return p
+        out = p.copy()
+        out[:, 1] = h - p[:, 1] - 1
+        return out
+
+    return dataclasses.replace(sample, image=img, gt_boxes=flip(sample.gt_boxes),
+                               rois=flip(sample.rois),
+                               clicks=flip_pts(sample.clicks),
+                               scribbles=flip(sample.scribbles))
 
 
 def color_jitter(sample: Sample, rng: np.random.RandomState,
@@ -178,6 +225,7 @@ class TrainTransform:
     min_sizes: Sequence[int]
     max_size: int
     hflip_prob: float = 0.5
+    vflip_prob: float = 0.0
     pixel_mean: Sequence[float] = (102.9801, 115.9465, 122.7717)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
     to_bgr255: bool = True
@@ -193,6 +241,8 @@ class TrainTransform:
         sample = resize(sample, tuple(self.min_sizes), self.max_size, rng)
         if rng.random_sample() < self.hflip_prob:
             sample = hflip(sample)
+        if self.vflip_prob and rng.random_sample() < self.vflip_prob:
+            sample = vflip(sample)
         sample = to_array(sample)
         if self.pca:
             sample = pca_lighting(sample, rng, 0.1)
@@ -222,6 +272,7 @@ def build_train_transform(cfg) -> TrainTransform:
             cfg.INPUT.MIN_SIZE_TRAIN, (tuple, list)) else (cfg.INPUT.MIN_SIZE_TRAIN,),
         max_size=cfg.INPUT.MAX_SIZE_TRAIN,
         hflip_prob=cfg.INPUT.HORIZONTAL_FLIP_PROB_TRAIN,
+        vflip_prob=cfg.INPUT.VERTICAL_FLIP_PROB_TRAIN,
         pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
         pixel_std=tuple(cfg.INPUT.PIXEL_STD),
         to_bgr255=cfg.INPUT.TO_BGR255,

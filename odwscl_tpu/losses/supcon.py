@@ -70,7 +70,9 @@ def supcon_loss(features: jnp.ndarray, labels: jnp.ndarray,
                 temperature: float = 0.2) -> jnp.ndarray:
     """Classic SupCon, log-softmax form (sim_loss.py:7-42, ``cfg.loss='supcon'``).
 
-    per_entry = -(1/|same\\{e}|) * sum_{e' same, e'!=e} log softmax_e'(sim_e)
+    per_entry = -(1/|same|) * sum_{e' same, e'!=e} log softmax_e'(sim_e)
+    (the count includes self; the sum excludes it — an upstream quirk kept
+    for parity, sim_loss.py:38-40)
     """
     e = features.shape[0]
     feats = features.astype(jnp.float32)
@@ -89,9 +91,11 @@ def supcon_loss(features: jnp.ndarray, labels: jnp.ndarray,
 
     same = (labels[:, None] == labels[None, :]) & valid[:, None] & col_valid
     same_f = jnp.where(same, 1.0, 0.0)
-    # sum over same-label others (weighted by multiplicity, minus self once)
+    # numerator sums over same-label OTHERS (logits_mask excludes self once
+    # per copy); the count deliberately INCLUDES self, matching the
+    # reference's `label_mask.sum(1)` denominator (sim_loss.py:38-40)
     num = (same_f * log_prob) @ m - jnp.diagonal(same_f * log_prob)
-    cnt = same_f @ m - jnp.diagonal(same_f)
+    cnt = same_f @ m
     per_entry = jnp.where(valid & (cnt > 0), -num / jnp.clip(cnt, 1.0), 0.0)
 
     count = jnp.sum(jnp.where(valid, m, 0.0))

@@ -50,6 +50,14 @@ class Batch:
     boxes: jnp.ndarray        # [B, P, 4] xyxy proposals
     box_mask: jnp.ndarray     # [B, P]
     labels: Optional[jnp.ndarray] = None  # [B, C] image-level, col 0 = 0
+    # partial-label supervision (PARTIAL_LABELS point/scribble,
+    # reference loss.py:208-231 + coco.py:155-172); None when unused
+    clicks: Optional[jnp.ndarray] = None           # [B, K, 2] (x, y)
+    click_labels: Optional[jnp.ndarray] = None     # [B, K] int32
+    click_mask: Optional[jnp.ndarray] = None       # [B, K] bool
+    scribbles: Optional[jnp.ndarray] = None        # [B, S, 4] xyxy
+    scribble_labels: Optional[jnp.ndarray] = None  # [B, S] int32
+    scribble_mask: Optional[jnp.ndarray] = None    # [B, S] bool
 
 
 class WSODDetector(nn.Module):
@@ -76,6 +84,8 @@ class WSODDetector(nn.Module):
     regress_heur: str = "AVG"
     contra: bool = True
     oicr_p: float = 0.0
+    partial_labels: str = "none"      # ROI_WEAK_HEAD.PARTIAL_LABELS
+    roi_refine: bool = False          # ROI_WEAK_HEAD.ROI_LOSS_REFINE
     # paper hyperparameters (reference defaults.py:540-551)
     p_thres: float = 0.5              # cfg.thres
     mining_nms: float = 0.1           # cfg.nms
@@ -124,14 +134,22 @@ class WSODDetector(nn.Module):
 
     # -- building blocks ------------------------------------------------------
     def pool(self, feats: jnp.ndarray, boxes: jnp.ndarray,
-             mask: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+             mask: jnp.ndarray, need_grad: bool = False) -> jnp.ndarray:
+        """RoI pooling. On TPU the Pallas kernel (exact for every roi size,
+        custom argmax VJP) serves both train and eval whenever the feature
+        block fits VMEM; oversized maps (the biggest TTA scales) use the
+        XLA pooler, exact up to `pooler_win` cells per axis."""
         if self.pooler_method == "ROIPool":
-            if use_pallas and self.pooler_resolution == 7 and _on_tpu():
-                from ..ops.roi_pool_pallas import (roi_pool_tpu,
-                                                   pallas_pool_feasible)
+            if self.pooler_resolution == 7 and _on_tpu():
+                from ..ops import roi_pool_pallas as rp
                 b, h, w, c = feats.shape
-                if pallas_pool_feasible(h, w, c):
-                    return roi_pool_tpu(feats, boxes, mask, self.pooler_scale)
+                isz = jnp.dtype(feats.dtype).itemsize
+                ok = rp.pallas_pool_feasible(h, w, c, isz)
+                if need_grad:
+                    ok = ok and rp.pallas_pool_bwd_feasible(h, w, c, isz)
+                if ok:
+                    return rp.roi_pool_tpu(feats, boxes, mask,
+                                           self.pooler_scale)
             return roi_pool(feats, boxes, mask, self.pooler_scale,
                             self.pooler_resolution, self.pooler_win)
         return roi_align(feats, boxes, mask, self.pooler_scale,
@@ -169,14 +187,9 @@ class WSODDetector(nn.Module):
         """Returns (scores [B,P,C], boxes) per the REGRESS_HEUR heuristic
         (weak_head.py:124-145). For AVG, boxes are the decoded per-class
         regressed boxes [B,P,4C] clipped to the image; otherwise the raw
-        proposals [B,P,4].
-
-        Eval uses the Pallas RoIPool kernel (5.7x the XLA fallback on v5e);
-        training keeps the XLA path, whose VJP is exact (the Pallas backward
-        kernel exceeds VMEM at large train feature maps — see
-        ops/roi_pool_pallas.py)."""
+        proposals [B,P,4]."""
         feats = self.backbone(batch.images)
-        pooled = self.pool(feats, batch.boxes, batch.box_mask, use_pallas=True)
+        pooled = self.pool(feats, batch.boxes, batch.box_mask)
         b, p = pooled.shape[:2]
         clean = self._neck_flat(pooled.reshape(b * p, *pooled.shape[2:]),
                                 train=False).reshape(b, p, -1)
@@ -206,7 +219,7 @@ class WSODDetector(nn.Module):
                       ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         boxes, mask, labels = batch.boxes, batch.box_mask, batch.labels
         feats = self.backbone(batch.images)
-        pooled = self.pool(feats, boxes, mask)  # [B,P,r,r,C]
+        pooled = self.pool(feats, boxes, mask, need_grad=True)  # [B,P,r,r,C]
         b, p = pooled.shape[:2]
         flat_pooled = pooled.reshape(b * p, *pooled.shape[2:])
 
@@ -226,13 +239,21 @@ class WSODDetector(nn.Module):
         cls, det, refs, bbox = self.pred(aug, mask, train=True)
 
         final = wsddn_final_score(cls, det, mask)               # [B,P,C] f32
-        ref_softmax = jnp.stack(
-            [jax.nn.softmax(r.astype(jnp.float32), axis=-1) for r in refs])
-        labels_fg = labels[:, 1:] > 0
 
         losses: Dict[str, jnp.ndarray] = {}
         metrics: Dict[str, jnp.ndarray] = {}
         losses["loss_img"] = mil_loss(final, labels)
+        img_score = jnp.clip(final.sum(axis=1), 1e-8, 1 - 1e-8)
+        metrics["acc_img"] = avg_image_accuracy(jnp.clip(labels, 0, 1),
+                                                img_score)
+        if refs is None:
+            # WSDDN-only training: just the MIL BCE, no refinement branches
+            # and no mining (weak_head/loss.py:50-95 WSDDNLossComputation)
+            return losses, metrics
+
+        ref_softmax = jnp.stack(
+            [jax.nn.softmax(r.astype(jnp.float32), axis=-1) for r in refs])
+        labels_fg = labels[:, 1:] > 0
 
         pgt_instance = None
         if self.contra:
@@ -282,6 +303,20 @@ class WSODDetector(nn.Module):
                 pl = mist_layer(boxes, mask, fg_scores, labels_fg,
                                 portion=self.oicr_p, fg_iou=self.fg_iou,
                                 reg_weights=self.reg_weights)
+            # partial-label refinement (loss.py:371 when ROI_LOSS_REFINE)
+            if (self.partial_labels == "point" and self.roi_refine
+                    and batch.clicks is not None):
+                from ..losses.partial_labels import filter_pseudo_labels_point
+                pl = pl._replace(labels=filter_pseudo_labels_point(
+                    pl.labels, boxes, batch.clicks, batch.click_labels,
+                    batch.click_mask))
+            elif (self.partial_labels == "scribble" and self.roi_refine
+                    and batch.scribbles is not None):
+                from ..losses.partial_labels import (
+                    filter_pseudo_labels_scribble)
+                pl = pl._replace(labels=filter_pseudo_labels_scribble(
+                    pl.labels, boxes, batch.scribbles, batch.scribble_labels,
+                    batch.scribble_mask))
             lam = 3.0 if i == 0 else 1.0
             losses[f"loss_ref_cls{i}"] = lam * refinement_cls_loss(
                 refs[i], pl.labels, pl.weights, mask)
@@ -292,8 +327,6 @@ class WSODDetector(nn.Module):
             metrics[f"pgt_overflow{i}"] = pl.overflow.astype(jnp.float32)
 
         # image-classification accuracies (loss.py:396-400)
-        img_score = jnp.clip(final.sum(axis=1), 1e-8, 1 - 1e-8)
-        metrics["acc_img"] = avg_image_accuracy(jnp.clip(labels, 0, 1), img_score)
         for i in range(self.num_refs):
             ref_sum = jnp.where(mask[..., None], refs[i].astype(jnp.float32),
                                 0.0).sum(axis=1)
@@ -313,7 +346,7 @@ def detector_from_cfg(cfg) -> WSODDetector:
         pooler_method=cfg.MODEL.ROI_BOX_HEAD.POOLER_METHOD,
         pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
         pooler_scale=cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES[0],
-        pooler_sampling=max(cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO, 2),
+        pooler_sampling=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
         mlp_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
         db_method=cfg.DB.METHOD,
         db_size=cfg.DB.SIZE,
@@ -322,6 +355,8 @@ def detector_from_cfg(cfg) -> WSODDetector:
         regress_heur=cfg.MODEL.ROI_WEAK_HEAD.REGRESS_HEUR,
         contra=cfg.SOLVER.CONTRA,
         oicr_p=cfg.MODEL.ROI_WEAK_HEAD.OICR_P,
+        partial_labels=cfg.MODEL.ROI_WEAK_HEAD.PARTIAL_LABELS,
+        roi_refine=cfg.MODEL.ROI_WEAK_HEAD.ROI_LOSS_REFINE,
         p_thres=cfg.thres,
         mining_nms=cfg.nms,
         lmda=cfg.lmda,

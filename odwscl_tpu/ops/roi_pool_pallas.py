@@ -1,33 +1,34 @@
-"""Pallas TPU kernel for RoI max pooling.
+"""Pallas TPU kernel for RoI max pooling — exact for every roi size.
 
-Replaces the reference's ROIPool CUDA kernel (csrc/cuda/ROIPool_cuda.cu) on
-the hot path. The pure-XLA fallback (ops/roi_pool.py) gathers a window per
-roi through HBM (~17 GB/batch, ~43 ms/image measured); this kernel keeps
-channel-tiled feature blocks resident in VMEM and reads each roi's window
-with on-chip dynamic slices, so HBM traffic is one pass over the feature
-map + the pooled output (~350 MB/batch).
+Replaces the reference's ROIPool CUDA kernel (csrc/cuda/ROIPool_cuda.cu:16-108)
+on both the eval and train hot paths. Semantics reproduced bit-exactly:
+round-half-up cell coords, malformed rois forced 1x1, integer floor/ceil bin
+edges clipped to the map, empty bins = 0, max-routing backward.
 
-Design:
-- A max-pool pyramid (levels 0..L-1, factor 2^l) is built in jnp (cheap,
-  differentiable). Each roi reads a static WIN x WIN_W window from the level
-  where its extent fits: level = ceil(log2(ext / WIN)). Level 0 (rois up to
-  WIN cells = 128 px at stride 8) reproduces the CUDA semantics exactly —
-  round-half-up cell coords, integer-exact floor/ceil bin edges, empty bins
-  = 0; higher levels pool over 2^l-cell superblocks (documented
-  approximation for large rois only).
-- Grid (B, C_tiles, roi_chunks), rightmost fastest: pyramid blocks
-  [1, Hl, Wl, CT] have grid-constant indices along the roi axis, so Mosaic
-  keeps them in VMEM across all roi chunks. Each program pools CHUNK rois
-  with a separable masked max (rows -> 7 bins, then cols -> 7 bins), built
-  from rank-3 iota masks and keepdims reductions (Mosaic rejects
-  rank-increasing reshapes of mask vectors).
-- W-axis dynamic-slice starts must be sublane (8) aligned: starts are
-  aligned down and the window widened to WIN_W = WIN + 8.
-- Backward: custom_vjp; the backward kernel recomputes each roi's window,
-  routes bin cotangents to cells equal to the bin max (the CUDA argmax
-  backward, modulo exact-tie double counting), and accumulates into
-  per-level d_feat blocks that stay resident across roi chunks. Pyramid
-  construction's own VJP is handled by XLA autodiff outside the kernel.
+Design (v2 — replaces the round-1 pyramid approximation):
+- The feature map is VMEM-resident per (batch, channel-tile) grid cell; roi
+  chunks iterate innermost so Mosaic keeps the block loaded.
+- Per-roi class, decided on the host:
+    0 "small"  (roi <= 16x17 cells): each of the 7 row-bins spans <= 3 rows,
+      so the bin max is a dynamic [4, 24, CT] slice + masked reduce; columns
+      reduce with masked maxes over the [7, 24, CT] intermediate. Exact.
+    1 "narrow large" (taller than 16 cells but <= ~33 cells wide): stream the
+      roi in [8, 40, CT] row strips from the resident block, masked-max into
+      a [7, 40, CT] row-bin accumulator, then masked column reduce. Exact
+      for any roi height (strip loop bound is dynamic).
+    2 "wide large": same strip loop at full map width. Exact for any size
+      up to the whole image (SS/MCG proposals reach 2000 px — VERDICT r1 #2).
+- Backward (custom_vjp): recomputes the forward maxima per roi and routes
+  bin cotangents to cells equal to the bin max (the CUDA argmax backward).
+  Exact ties split the cotangent evenly (the jnp reduce-max VJP convention;
+  CUDA picks the first argmax — bf16 rounding makes ties common and any
+  all-maxima routing would multiply gradient mass). All routing math is
+  f32 (exact for bf16 features; bf16 i1 compare vectors also trip Mosaic
+  relayout limits). d_feat accumulates into a VMEM-resident f32 block
+  across roi chunks, so the whole VJP stays on-chip — this replaces the
+  round-1 XLA gather/scatter VJP that cost ~1s/step at train shapes.
+- Feature maps too large for VMEM residency (the biggest TTA scales) fall
+  back to the XLA pooler via the feasibility gates below.
 """
 
 from __future__ import annotations
@@ -39,326 +40,449 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 16          # window rows; per-level roi extent cap (level-0-exact)
-WIN_W = 24        # window cols: WIN + 8 sublane-alignment slack
-CHUNK = 32        # rois per program (fewer, fatter programs: grid overhead dominated at 8)
-DEFAULT_LEVELS = 5
-_NEG_THRESH = -1e37  # "never written" sentinel detector (bf16/f32 safe)
+WIN = 16          # small-roi cap: rows
+WIN_W = 24        # small-roi column window (16 + 8 alignment slack)
+CW_NARROW = 40    # narrow-large column window
+SROWS = 8         # strip height for large rois
+CHUNK = 32        # rois per grid step
+META_N = 36       # int32 scalars per roi (see _roi_meta)
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+# meta layout (per roi): 0 cls, 1 valid, 2 ys, 3 xs, 4 xs_l, 5 r0,
+# 6 n_strips, 7 unused, 8..14 row_lo, 15..21 row_hi, 22..28 col_lo,
+# 29..35 col_hi  (lo/hi are absolute cell coords clipped to the true map)
+_M_CLS, _M_VALID, _M_YS, _M_XS, _M_XSL, _M_R0, _M_NS = range(7)
+_M_RLO, _M_RHI, _M_CLO, _M_CHI = 8, 15, 22, 29
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pyramid(feat: jnp.ndarray, n_levels: int):
-    """Max-pool pyramid; every level padded so Hl >= WIN, Wl >= WIN_W.
-    Padding uses the dtype min so it never wins a max."""
-    pads = []
-    levels = []
-    x = feat
-    neg = jnp.asarray(jnp.finfo(feat.dtype).min, feat.dtype)
-    for l in range(n_levels):
-        h, w = x.shape[1], x.shape[2]
-        hp = max(_round_up(h, 8), WIN)
-        wp = max(_round_up(w, 8), WIN_W)
-        xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
-                     constant_values=neg)
-        levels.append(xp)
-        pads.append((h, w))
-        if l + 1 < n_levels:
-            x2 = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)),
-                         constant_values=neg)
-            # init must be -inf: only the canonical max-pool reduce_window
-            # has a registered VJP (generic reduce_window doesn't)
-            x = jax.lax.reduce_window(
-                x2, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-    return levels, pads
+def _neg(dtype):
+    return jnp.asarray(jnp.finfo(dtype).min, dtype)
 
 
-def _roi_meta(rois: jnp.ndarray, mask: jnp.ndarray, spatial_scale: float,
-              n_levels: int) -> jnp.ndarray:
-    """Per-roi int32 metadata [B, P, 8]: x1, y1, x2, y2 (level-0 cells,
-    CUDA round-half-up), level, valid, 0, 0 (padded to 8)."""
-    cells = jnp.floor(rois * spatial_scale + 0.5).astype(jnp.int32)
+def _neg_th(dtype):
+    return jnp.asarray(jnp.finfo(dtype).min, jnp.float32) * 0.5
+
+
+# ---------------------------------------------------------------------------
+# host-side metadata
+# ---------------------------------------------------------------------------
+
+def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cw_n):
+    """Per-roi int32 metadata [B, P, META_N] (CUDA cell coords + routing)."""
+    cells = jnp.floor(rois.astype(jnp.float32) * spatial_scale + 0.5)
+    cells = cells.astype(jnp.int32)
     x1, y1, x2, y2 = (cells[..., i] for i in range(4))
     rw = jnp.maximum(x2 - x1 + 1, 1)
     rh = jnp.maximum(y2 - y1 + 1, 1)
-    ext = jnp.maximum(rw, rh)
-    level = jnp.zeros_like(ext)
-    for l in range(1, n_levels):
-        level = jnp.where(ext > WIN * (2 ** (l - 1)), l, level)
+
+    ph = jnp.arange(7, dtype=jnp.int32)
+    row_lo = jnp.clip(ph * rh[..., None] // 7 + y1[..., None], 0, h)
+    row_hi = jnp.clip(((ph + 1) * rh[..., None] + 6) // 7 + y1[..., None], 0, h)
+    col_lo = jnp.clip(ph * rw[..., None] // 7 + x1[..., None], 0, w)
+    col_hi = jnp.clip(((ph + 1) * rw[..., None] + 6) // 7 + x1[..., None], 0, w)
+
+    ys = jnp.clip(y1, 0, hp - WIN)
+    xs = jnp.clip((jnp.clip(x1, 0, wp - 1) // 8) * 8, 0, wp - WIN_W)
+    xs_l = jnp.clip((jnp.clip(x1, 0, wp - 1) // 8) * 8, 0, max(wp - cw_n, 0))
+    vis_y_hi = jnp.clip(y2 + 1, 0, h)
+    vis_x_hi = jnp.clip(x2 + 1, 0, w)
+    r0 = jnp.clip(y1, 0, hp - SROWS)
+    n_strips = jnp.maximum(vis_y_hi - r0, 0)
+    n_strips = (n_strips + SROWS - 1) // SROWS
+
+    is_small = (rh <= WIN) & (rw <= WIN_W - 8 + 1)
+    is_narrow = (vis_x_hi - xs_l) <= cw_n
+    cls = jnp.where(is_small, 0,
+                    jnp.where(is_narrow & (cw_n < wp), 1, 2))
     zeros = jnp.zeros_like(x1)
-    return jnp.stack([x1, y1, x2, y2, level, mask.astype(jnp.int32),
-                      zeros, zeros], axis=-1)
+    head = jnp.stack([cls, mask.astype(jnp.int32), ys, xs, xs_l, r0,
+                      n_strips, zeros], axis=-1)
+    return jnp.concatenate([head, row_lo, row_hi, col_lo, col_hi],
+                           axis=-1).astype(jnp.int32)
 
 
-def _pick_roi(meta, r, feat_refs, level_dims):
-    """Per-roi scalars + the window selected from the roi's pyramid level.
+# ---------------------------------------------------------------------------
+# kernel building blocks
+# ---------------------------------------------------------------------------
 
-    Returns (window [WIN, WIN_W, CT] f32, y1l, x1l, rhl, rwl, ys, xs,
-    hl_real, wl_real, valid) — all scalars traced, selected with binary
-    wheres (Mosaic select_n only supports 2 cases)."""
-    x1 = meta[0, r, 0]
-    y1 = meta[0, r, 1]
-    x2 = meta[0, r, 2]
-    y2 = meta[0, r, 3]
-    lvl = meta[0, r, 4]
-    valid = meta[0, r, 5] > 0
-
-    window = None
-    scalars = None
-    for l, (ref, (hl, wl)) in enumerate(zip(feat_refs, level_dims)):
-        y1l, x1l, y2l, x2l = y1 >> l, x1 >> l, y2 >> l, x2 >> l
-        rhl = jnp.maximum(y2l - y1l + 1, 1)
-        rwl = jnp.maximum(x2l - x1l + 1, 1)
-        hp, wp = ref.shape[1], ref.shape[2]
-        ys = jnp.clip(y1l, 0, hp - WIN)
-        xs = jnp.clip((jnp.clip(x1l, 0, wp - 1) // 8) * 8, 0, wp - WIN_W)
-        win = ref[0, pl.ds(ys, WIN), pl.ds(pl.multiple_of(xs, 8), WIN_W), :]
-        win = win.astype(jnp.float32)
-        sc = (y1l, x1l, rhl, rwl, ys, xs,
-              jnp.asarray(hl, jnp.int32), jnp.asarray(wl, jnp.int32))
-        if window is None:
-            window, scalars = win, sc
-        else:
-            is_l = lvl == l
-            window = jnp.where(is_l, win, window)
-            scalars = tuple(jnp.where(is_l, a, b) for a, b in zip(sc, scalars))
-    return (window,) + scalars + (valid,)
+def _meta_scalar(meta_ref, r, k):
+    return meta_ref[0, r, k]
 
 
-def _bin_edges_scalar(k: int, start, length, limit):
-    """Integer-exact CUDA bin edges for bin k (static) along one axis."""
-    lo = jnp.clip((k * length) // 7 + start, 0, limit)
-    hi = jnp.clip(((k + 1) * length + 6) // 7 + start, 0, limit)
-    return lo, hi
-
-
-def _row_stage(window, y1l, rhl, ys, hl):
-    """rows -> 7 row-bins: list of 7 [1, WIN_W, CT] masked maxima."""
-    rows3 = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1, 1), 0) + ys
-    out = []
+def _small_rowbins(meta_ref, feat_ref, r, hp):
+    """The 7 row-bin maxima of a small roi: [7, WIN_W, CT] + the per-bin
+    (row_start, slice) pairs for backward reuse."""
+    xs = pl.multiple_of(_meta_scalar(meta_ref, r, _M_XS), 8)
+    parts, slices, starts = [], [], []
     for ph in range(7):
-        lo, hi = _bin_edges_scalar(ph, y1l, rhl, hl)
-        m = (rows3 >= lo) & (rows3 < hi)
-        out.append(jnp.max(jnp.where(m, window, _NEG_THRESH * 10.0),
-                           axis=0, keepdims=True))
-    return out  # 7 x [1, WIN_W, CT]
+        lo = _meta_scalar(meta_ref, r, _M_RLO + ph)
+        hi = _meta_scalar(meta_ref, r, _M_RHI + ph)
+        rs = jnp.clip(lo, 0, hp - 4)
+        sl = feat_ref[0, pl.ds(rs, 4), pl.ds(xs, WIN_W), :]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0) + rs
+        m = (ri >= lo) & (ri < hi)
+        part = jnp.max(jnp.where(m, sl, _neg(sl.dtype)), axis=0,
+                       keepdims=True)
+        parts.append(part)
+        slices.append((sl, m))
+        starts.append(rs)
+    return jnp.concatenate(parts, axis=0), slices, starts, xs
 
 
-def _col_masks(x1l, rwl, xs, wl):
-    cols3 = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_W, 1), 1) + xs
-    masks = []
+def _col_reduce(tmp, meta_ref, r, col_base, cw):
+    """Masked column reduction: tmp [7, cw, CT] -> res [7, 7, CT] (and the
+    per-bin col masks for backward reuse)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, cw, 1), 1) + col_base
+    res_cols, masks = [], []
     for pw in range(7):
-        lo, hi = _bin_edges_scalar(pw, x1l, rwl, wl)
-        masks.append((cols3 >= lo) & (cols3 < hi))
-    return masks  # 7 x [1, WIN_W, 1]
+        clo = _meta_scalar(meta_ref, r, _M_CLO + pw)
+        chi = _meta_scalar(meta_ref, r, _M_CHI + pw)
+        m = (cols >= clo) & (cols < chi)
+        masks.append(m)
+        res_cols.append(jnp.max(jnp.where(m, tmp, _neg(tmp.dtype)), axis=1,
+                                keepdims=True))
+    return jnp.concatenate(res_cols, axis=1), masks
 
 
-def _fwd_kernel(meta_ref, *refs, n_levels, level_dims):
-    feat_refs = refs[:n_levels]
-    out_ref = refs[n_levels]
-    for r in range(CHUNK):
-        (window, y1l, x1l, rhl, rwl, ys, xs, hl, wl, valid) = _pick_roi(
-            meta_ref, r, feat_refs, level_dims)
-        tmp = jnp.concatenate(_row_stage(window, y1l, rhl, ys, hl), axis=0)
-        cmasks = _col_masks(x1l, rwl, xs, wl)
-        res_cols = []
-        for pw in range(7):
-            masked = jnp.where(cmasks[pw], tmp, _NEG_THRESH * 10.0)
-            res_cols.append(jnp.max(masked, axis=1, keepdims=True))  # [7,1,CT]
-        res = jnp.concatenate(res_cols, axis=1)  # [7, 7, CT]
-        # empty bins / padded rois -> exactly 0 (ROIPool_cuda.cu:57-60)
-        ok = (res > _NEG_THRESH) & valid
-        res = jnp.where(ok, res, 0.0)
-        out_ref[0, r] = res.astype(out_ref.dtype)
+def _finalize(res, valid):
+    # nested wheres: no i1 AND between a scalar and a broadcast vector
+    out = jnp.where(res.astype(jnp.float32) > _neg_th(res.dtype), res,
+                    jnp.zeros_like(res))
+    return jnp.where(valid, out, jnp.zeros_like(out))
 
 
-def _bwd_kernel(meta_ref, *refs, n_levels, level_dims):
-    feat_refs = refs[:n_levels]
-    g_ref = refs[n_levels]
-    dfeat_refs = refs[n_levels + 1:]
+def _large_rowacc(meta_ref, feat_ref, racc_ref, r, hp, cw, use_xsl):
+    """Stream a large roi's strips into the row-bin accumulator
+    racc_ref[:, :cw]. Returns the aligned column base."""
+    xs = (pl.multiple_of(_meta_scalar(meta_ref, r, _M_XSL), 8)
+          if use_xsl else 0)
+    r0 = _meta_scalar(meta_ref, r, _M_R0)
+    ns = _meta_scalar(meta_ref, r, _M_NS)
+    racc_ref[:, :cw] = jnp.full(racc_ref[:, :cw].shape,
+                                _neg(racc_ref.dtype), racc_ref.dtype)
+
+    def body(s, _):
+        st = jnp.minimum(r0 + SROWS * s, hp - SROWS)
+        strip = feat_ref[0, pl.ds(st, SROWS), pl.ds(xs, cw), :]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (SROWS, 1, 1), 0) + st
+        for ph in range(7):
+            lo = _meta_scalar(meta_ref, r, _M_RLO + ph)
+            hi = _meta_scalar(meta_ref, r, _M_RHI + ph)
+
+            @pl.when((lo < st + SROWS) & (hi > st))
+            def _():
+                m = (ri >= lo) & (ri < hi)
+                red = jnp.max(jnp.where(m, strip, _neg(strip.dtype)), axis=0)
+                racc_ref[ph, :cw] = jnp.maximum(racc_ref[ph, :cw], red)
+        return 0
+
+    jax.lax.fori_loop(0, ns, body, 0)
+    return xs
+
+
+def _fwd_kernel(meta_ref, feat_ref, out_ref, racc_ref, *, hp, wp, cw_n):
+    # rois iterate via fori_loop (not a Python unroll): the kernel program
+    # contains ONE roi body, keeping the Mosaic compile tractable
+    def body(r, _):
+        cls = _meta_scalar(meta_ref, r, _M_CLS)
+        valid = _meta_scalar(meta_ref, r, _M_VALID) > 0
+
+        @pl.when(~valid)
+        def _():
+            out_ref[0, r] = jnp.zeros(out_ref.shape[2:], out_ref.dtype)
+
+        @pl.when(valid & (cls == 0))
+        def _():
+            tmp, _, _, xs = _small_rowbins(meta_ref, feat_ref, r, hp)
+            res, _ = _col_reduce(tmp, meta_ref, r, xs, WIN_W)
+            out_ref[0, r] = _finalize(res, valid).astype(out_ref.dtype)
+
+        def large(cw, use_xsl):
+            xs = _large_rowacc(meta_ref, feat_ref, racc_ref, r, hp, cw,
+                               use_xsl)
+            res, _ = _col_reduce(racc_ref[:, :cw], meta_ref, r, xs, cw)
+            out_ref[0, r] = _finalize(res, valid).astype(out_ref.dtype)
+
+        if cw_n < wp:
+            @pl.when(valid & (cls == 1))
+            def _():
+                large(cw_n, True)
+
+        @pl.when(valid & (cls == 2))
+        def _():
+            large(wp, False)
+
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, body, 0)
+
+
+def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, racc_ref, dracc_ref,
+                cnt_ref, *, hp, wp, cw_n):
     rc = pl.program_id(2)
 
     @pl.when(rc == 0)
     def _():
-        for dref in dfeat_refs:
-            dref[...] = jnp.zeros(dref.shape, dref.dtype)
+        dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
 
-    for r in range(CHUNK):
-        x1 = meta_ref[0, r, 0]
-        y1 = meta_ref[0, r, 1]
-        x2 = meta_ref[0, r, 2]
-        y2 = meta_ref[0, r, 3]
-        lvl = meta_ref[0, r, 4]
-        valid = meta_ref[0, r, 5] > 0
-        for l, (ref, dref, (hl, wl)) in enumerate(
-                zip(feat_refs, dfeat_refs, level_dims)):
-            y1l, x1l, y2l, x2l = y1 >> l, x1 >> l, y2 >> l, x2 >> l
-            rhl = jnp.maximum(y2l - y1l + 1, 1)
-            rwl = jnp.maximum(x2l - x1l + 1, 1)
-            hp, wp = ref.shape[1], ref.shape[2]
-            ys = jnp.clip(y1l, 0, hp - WIN)
-            xs = jnp.clip((jnp.clip(x1l, 0, wp - 1) // 8) * 8, 0, wp - WIN_W)
-            xs = pl.multiple_of(xs, 8)
-            window = ref[0, pl.ds(ys, WIN), pl.ds(xs, WIN_W), :].astype(
-                jnp.float32)
-            active = (lvl == l) & valid
+    def body(r, _):
+        cls = _meta_scalar(meta_ref, r, _M_CLS)
+        valid = _meta_scalar(meta_ref, r, _M_VALID) > 0
 
-            tmp = jnp.concatenate(_row_stage(window, y1l, rhl, ys, hl), axis=0)
-            cmasks = _col_masks(x1l, rwl, xs, wl)
+        @pl.when(valid & (cls == 0))
+        def _():
+            tmp, slices, starts, xs = _small_rowbins(meta_ref, feat_ref, r,
+                                                     hp)
+            # all routing math in f32: bf16 i1 compare vectors trip Mosaic
+            # relayout at some shapes; bf16->f32 is exact so routing is too
+            tmp = tmp.astype(jnp.float32)
+            res, cmasks = _col_reduce(tmp, meta_ref, r, xs, WIN_W)
+            # routing is pure f32 arithmetic: bool vectors only appear in
+            # same-shape compares immediately consumed by where — Mosaic
+            # cannot relayout broadcast/AND'ed i1 operands
+            live = jnp.where(res.astype(jnp.float32) > _neg_th(res.dtype),
+                             1.0, 0.0)                       # [7,7,CT] f32
+            # ties split evenly (the jnp reduce-max VJP convention; CUDA
+            # routes to the first argmax — bf16 rounding makes exact ties
+            # common, and eq-routing would multiply gradient mass)
             d_tmp = jnp.zeros(tmp.shape, jnp.float32)
             for pw in range(7):
-                masked = jnp.where(cmasks[pw], tmp, _NEG_THRESH * 10.0)
-                res_pw = jnp.max(masked, axis=1, keepdims=True)  # [7,1,CT]
-                g_pw = g_ref[0, r, :, pw:pw + 1, :].astype(jnp.float32)
-                g_pw = jnp.where((res_pw > _NEG_THRESH) & active, g_pw, 0.0)
-                d_tmp = d_tmp + jnp.where(masked == res_pw, g_pw, 0.0)
-
-            rows3 = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1, 1), 0) + ys
-            d_window = jnp.zeros(window.shape, jnp.float32)
+                g_pw = (g_ref[0, r, :, pw, :][:, None, :]
+                        * live[:, pw:pw + 1, :])             # [7,1,CT]
+                cm = jnp.where(cmasks[pw], 1.0, 0.0)         # [1,W,1] f32
+                eqf = cm * jnp.where(tmp == res[:, pw:pw + 1, :], 1.0, 0.0)
+                cnt = jnp.sum(eqf, axis=1, keepdims=True)    # [7,1,CT]
+                d_tmp = d_tmp + g_pw * eqf / jnp.maximum(cnt, 1.0)
             for ph in range(7):
-                lo, hi = _bin_edges_scalar(ph, y1l, rhl, hl)
-                m = (rows3 >= lo) & (rows3 < hi)
-                masked_w = jnp.where(m, window, _NEG_THRESH * 10.0)
-                tmp_ph = jnp.max(masked_w, axis=0, keepdims=True)
-                d_t_ph = d_tmp[ph:ph + 1]
-                d_window = d_window + jnp.where(masked_w == tmp_ph, d_t_ph, 0.0)
+                sl, m = slices[ph]
+                mf = jnp.where(m, 1.0, 0.0)                  # [4,1,1] f32
+                eqf = mf * jnp.where(
+                    sl.astype(jnp.float32) == tmp[ph:ph + 1], 1.0, 0.0)
+                cnt = jnp.sum(eqf, axis=0, keepdims=True)    # [1,W,CT]
+                d_sl = d_tmp[ph:ph + 1] * eqf / jnp.maximum(cnt, 1.0)
+                cur = dfeat_ref[0, pl.ds(starts[ph], 4), pl.ds(xs, WIN_W), :]
+                dfeat_ref[0, pl.ds(starts[ph], 4), pl.ds(xs, WIN_W), :] = (
+                    cur + d_sl.astype(dfeat_ref.dtype))
 
-            cur = dref[0, pl.ds(ys, WIN), pl.ds(xs, WIN_W), :]
-            dref[0, pl.ds(ys, WIN), pl.ds(xs, WIN_W), :] = (
-                cur + d_window.astype(dref.dtype))
+        def large_bwd(cw, use_xsl):
+            xs = _large_rowacc(meta_ref, feat_ref, racc_ref, r, hp, cw,
+                               use_xsl)
+            # racc_ref is f32 in the backward call (compare math in f32)
+            racc = racc_ref[:, :cw]
+            res, cmasks = _col_reduce(racc, meta_ref, r, xs, cw)
+            live = jnp.where(res > _neg_th(jnp.float32), 1.0, 0.0)
+            dracc_ref[:, :cw] = jnp.zeros((7, cw, racc.shape[-1]),
+                                          dracc_ref.dtype)
+            for pw in range(7):
+                g_pw = (g_ref[0, r, :, pw, :][:, None, :]
+                        * live[:, pw:pw + 1, :])
+                cm = jnp.where(cmasks[pw], 1.0, 0.0)
+                eqf = cm * jnp.where(racc == res[:, pw:pw + 1, :], 1.0, 0.0)
+                cnt = jnp.sum(eqf, axis=1, keepdims=True)
+                dracc_ref[:, :cw] = (dracc_ref[:, :cw]
+                                     + g_pw * eqf / jnp.maximum(cnt, 1.0))
+            r0 = _meta_scalar(meta_ref, r, _M_R0)
+            ns = _meta_scalar(meta_ref, r, _M_NS)
+
+            def strip_parts(s):
+                st = jnp.minimum(r0 + SROWS * s, hp - SROWS)
+                strip = feat_ref[0, pl.ds(st, SROWS), pl.ds(xs, cw), :]
+                ri = jax.lax.broadcasted_iota(jnp.int32, (SROWS, 1, 1), 0) + st
+                # clamped strips overlap; own-range mask prevents double adds
+                own = ri >= r0 + SROWS * s
+                return st, strip, ri, own
+
+            def bin_eq(strip, ri, own, ph):
+                lo = _meta_scalar(meta_ref, r, _M_RLO + ph)
+                hi = _meta_scalar(meta_ref, r, _M_RHI + ph)
+                m = (ri >= lo) & (ri < hi) & own  # same-shape i1 ANDs
+                mf = jnp.where(m, 1.0, 0.0)       # [SROWS,1,1] f32
+                return mf * jnp.where(strip == racc_ref[ph, :cw][None],
+                                      1.0, 0.0)
+
+            # pass 1: per-(bin, column) row-tie counts across all strips
+            cnt_ref[:, :cw] = jnp.zeros((7, cw, racc.shape[-1]),
+                                        cnt_ref.dtype)
+
+            def count_body(s, _):
+                _, strip, ri, own = strip_parts(s)
+                for ph in range(7):
+                    cnt_ref[ph, :cw] = cnt_ref[ph, :cw] + jnp.sum(
+                        bin_eq(strip, ri, own, ph), axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, ns, count_body, 0)
+            # fold the even-split division into dracc once
+            dracc_ref[:, :cw] = dracc_ref[:, :cw] / jnp.maximum(
+                cnt_ref[:, :cw], 1.0)
+
+            def body(s, _):
+                st, strip, ri, own = strip_parts(s)
+                d_strip = jnp.zeros(strip.shape, jnp.float32)
+                for ph in range(7):
+                    d_strip = (d_strip + dracc_ref[ph, :cw][None]
+                               * bin_eq(strip, ri, own, ph))
+                cur = dfeat_ref[0, pl.ds(st, SROWS), pl.ds(xs, cw), :]
+                dfeat_ref[0, pl.ds(st, SROWS), pl.ds(xs, cw), :] = (
+                    cur + d_strip.astype(dfeat_ref.dtype))
+                return 0
+
+            jax.lax.fori_loop(0, ns, body, 0)
+
+        if cw_n < wp:
+            @pl.when(valid & (cls == 1))
+            def _():
+                large_bwd(cw_n, True)
+
+        @pl.when(valid & (cls == 2))
+        def _():
+            large_bwd(wp, False)
+
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, body, 0)
 
 
-def _choose_ct(h: int, w: int, c: int, n_levels: int,
-               bytes_per_el: int = 2) -> int:
-    """Channel tile: Mosaic requires the lane (last) block dim to be a
-    multiple of 128 or the full dim, so the tile is 128 whenever possible;
-    `pallas_pool_feasible` gates shapes whose resident blocks would not fit
-    VMEM at that tile."""
-    del h, w, n_levels, bytes_per_el
+# ---------------------------------------------------------------------------
+# feasibility gates + host wrappers
+# ---------------------------------------------------------------------------
+
+def _padded_dims(h, w):
+    hp = max(_round_up(h, 8), WIN)
+    wp = max(_round_up(w, 8), WIN_W)
+    return hp, wp
+
+
+def _ct(c):
     return 128 if c % 128 == 0 else c
 
 
-def pallas_pool_feasible(h: int, w: int, c: int,
-                         n_levels: int = DEFAULT_LEVELS) -> bool:
-    """True if the resident pyramid blocks fit VMEM at ct=128 (the minimum
-    lane-aligned channel tile), double-buffering included. Callers fall back
-    to the XLA path above this size (largest TTA scales)."""
+def pallas_pool_feasible(h: int, w: int, c: int, itemsize: int = 2) -> bool:
+    """True if the feature block fits the 16 MB scoped VMEM at the minimum
+    lane-aligned channel tile. Larger maps (the biggest TTA scales) fall
+    back to the exact XLA pooler. itemsize: feat dtype bytes (bf16 = 2)."""
     if c % 128 != 0:
         return False
-    total = 0
-    hh, ww = h, w
-    for _ in range(n_levels):
-        total += (max(_round_up(hh, 8), WIN)
-                  * max(_round_up(ww, 8), WIN_W) * 128 * 2)  # bf16 bytes
-        hh, ww = -(-hh // 2), -(-ww // 2)
-    return total * 2 <= 14 * 1024 * 1024  # x2 double-buffering
+    hp, wp = _padded_dims(h, w)
+    feat = hp * wp * 128 * itemsize
+    scratch = 7 * wp * 128 * itemsize
+    out = 2 * CHUNK * 49 * 128 * itemsize  # double-buffered output block
+    return feat + scratch + out + (1 << 20) <= _VMEM_BUDGET
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def roi_pool_tpu(feat, rois, roi_mask, spatial_scale, pooled=7,
-                 n_levels=DEFAULT_LEVELS):
-    out, _ = _roi_pool_tpu_fwd(feat, rois, roi_mask, spatial_scale, pooled,
-                               n_levels)
-    return out
+def pallas_pool_bwd_feasible(h: int, w: int, c: int, itemsize: int = 2) -> bool:
+    """The backward additionally keeps an f32 d_feat block resident."""
+    if c % 128 != 0:
+        return False
+    hp, wp = _padded_dims(h, w)
+    feat = hp * wp * 128 * itemsize
+    dfeat = hp * wp * 128 * 4
+    scratch = 7 * wp * 128 * 12  # three f32 accumulators
+    g_blk = 2 * CHUNK * 49 * 128 * 4
+    return feat + dfeat + scratch + g_blk + (1 << 20) <= _VMEM_BUDGET
 
 
-def _run_fwd(levels, pads, meta, b, p, c, ct, dtype, interpret=False):
-    n_levels = len(levels)
-    rc = p // CHUNK
-    grid = (b, c // ct, rc)
-    in_specs = [pl.BlockSpec((1, CHUNK, 8), lambda bi, ci, ri: (bi, ri, 0),
-                             memory_space=pltpu.SMEM)]
-    for lv in levels:
-        hl, wl = lv.shape[1], lv.shape[2]
-        in_specs.append(pl.BlockSpec(
-            (1, hl, wl, ct),
-            lambda bi, ci, ri: (bi, 0, 0, ci),
-            memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, CHUNK, 7, 7, ct),
-                            lambda bi, ci, ri: (bi, ri, 0, 0, ci),
-                            memory_space=pltpu.VMEM)
-    kernel = functools.partial(_fwd_kernel, n_levels=n_levels,
-                               level_dims=tuple(pads))
+def _prep(feat, rois, roi_mask, spatial_scale):
+    b, h, w, c = feat.shape
+    hp, wp = _padded_dims(h, w)
+    cw_n = CW_NARROW if wp > CW_NARROW else wp
+    p = rois.shape[1]
+    pad_p = (-p) % CHUNK
+    rois_p = jnp.pad(rois, ((0, 0), (0, pad_p), (0, 0)))
+    mask_p = jnp.pad(roi_mask, ((0, 0), (0, pad_p)))
+    meta = _roi_meta(rois_p, mask_p, spatial_scale, h, w, hp, wp, cw_n)
+    feat_p = jnp.pad(feat, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    return feat_p, meta, hp, wp, cw_n, p, pad_p
+
+
+def _run_fwd(feat_p, meta, hp, wp, cw_n, interpret=False):
+    b, _, _, c = feat_p.shape
+    pp = meta.shape[1]
+    ct = _ct(c)
+    grid = (b, c // ct, pp // CHUNK)
+    kernel = functools.partial(_fwd_kernel, hp=hp, wp=wp, cw_n=cw_n)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, p, 7, 7, c), dtype),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, META_N), lambda bi, ci, ri: (bi, ri, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hp, wp, ct), lambda bi, ci, ri: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CHUNK, 7, 7, ct),
+                               lambda bi, ci, ri: (bi, ri, 0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, pp, 7, 7, c), feat_p.dtype),
+        scratch_shapes=[pltpu.VMEM((7, wp, ct), feat_p.dtype)],
         interpret=interpret,
-    )(meta, *levels)
+    )(meta, feat_p)
 
 
-def _roi_pool_tpu_fwd(feat, rois, roi_mask, spatial_scale, pooled, n_levels):
-    assert pooled == 7, "kernel is specialized to the shipped 7x7 pooler"
-    b, h, w, c = feat.shape
-    p = rois.shape[1]
-    pad_p = (-p) % CHUNK
-    rois_p = jnp.pad(rois, ((0, 0), (0, pad_p), (0, 0)))
-    mask_p = jnp.pad(roi_mask, ((0, 0), (0, pad_p)))
-    meta = _roi_meta(rois_p, mask_p, spatial_scale, n_levels)
-
-    levels, pads = _pyramid(feat, n_levels)
-    ct = _choose_ct(h, w, c, n_levels)
-    out = _run_fwd(levels, pads, meta, b, p + pad_p, c, ct, feat.dtype)
-    out = out[:, :p]
-    return out, (feat, rois, roi_mask)
-
-
-def _roi_pool_tpu_bwd(spatial_scale, pooled, n_levels, residuals, g):
-    feat, rois, roi_mask = residuals
-    b, h, w, c = feat.shape
-    p = rois.shape[1]
-    pad_p = (-p) % CHUNK
-    rois_p = jnp.pad(rois, ((0, 0), (0, pad_p), (0, 0)))
-    mask_p = jnp.pad(roi_mask, ((0, 0), (0, pad_p)))
-    meta = _roi_meta(rois_p, mask_p, spatial_scale, n_levels)
-    g_p = jnp.pad(g.astype(jnp.float32),
-                  ((0, 0), (0, pad_p), (0, 0), (0, 0), (0, 0)))
-
-    def pyr_fn(f):
-        levels, _ = _pyramid(f, n_levels)
-        return tuple(levels)
-
-    levels, pyr_vjp = jax.vjp(pyr_fn, feat)
-    _, pads = _pyramid(feat, n_levels)
-    ct = _choose_ct(h, w, c, n_levels, bytes_per_el=6)
-
-    rc = (p + pad_p) // CHUNK
-    grid = (b, c // ct, rc)
-    in_specs = [pl.BlockSpec((1, CHUNK, 8), lambda bi, ci, ri: (bi, ri, 0),
-                             memory_space=pltpu.SMEM)]
-    for lv in levels:
-        hl, wl = lv.shape[1], lv.shape[2]
-        in_specs.append(pl.BlockSpec((1, hl, wl, ct),
-                                     lambda bi, ci, ri: (bi, 0, 0, ci),
-                                     memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, CHUNK, 7, 7, ct),
-                                 lambda bi, ci, ri: (bi, ri, 0, 0, ci),
-                                 memory_space=pltpu.VMEM))
-    out_specs = []
-    out_shapes = []
-    for lv in levels:
-        hl, wl = lv.shape[1], lv.shape[2]
-        out_specs.append(pl.BlockSpec((1, hl, wl, ct),
-                                      lambda bi, ci, ri: (bi, 0, 0, ci),
-                                      memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct(lv.shape, jnp.float32))
-
-    kernel = functools.partial(_bwd_kernel, n_levels=n_levels,
-                               level_dims=tuple(pads))
-    d_levels = pl.pallas_call(
+def _run_bwd(feat_p, meta, g_p, hp, wp, cw_n, interpret=False):
+    b, _, _, c = feat_p.shape
+    pp = meta.shape[1]
+    ct = _ct(c)
+    grid = (b, c // ct, pp // CHUNK)
+    kernel = functools.partial(_bwd_kernel, hp=hp, wp=wp, cw_n=cw_n)
+    return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shapes),
-    )(meta, *levels, g_p)
-    (d_feat,) = pyr_vjp(tuple(dl.astype(lv.dtype)
-                              for dl, lv in zip(d_levels, levels)))
-    return d_feat, None, None
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, META_N), lambda bi, ci, ri: (bi, ri, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hp, wp, ct), lambda bi, ci, ri: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, 7, 7, ct),
+                         lambda bi, ci, ri: (bi, ri, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hp, wp, ct),
+                               lambda bi, ci, ri: (bi, 0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), jnp.float32),
+        # both scratches f32: the backward routing compares in f32 (exact
+        # for bf16 inputs) to avoid Mosaic i1-relayout limits on bf16
+        scratch_shapes=[pltpu.VMEM((7, wp, ct), jnp.float32),
+                        pltpu.VMEM((7, wp, ct), jnp.float32),
+                        pltpu.VMEM((7, wp, ct), jnp.float32)],
+        interpret=interpret,
+    )(meta, feat_p, g_p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def roi_pool_tpu(feat, rois, roi_mask, spatial_scale, pooled=7):
+    """Exact ROIPool (CUDA semantics) on TPU.
+
+    feat [B,H,W,C] (C % 128 == 0), rois [B,P,4] xyxy image coords,
+    roi_mask [B,P] bool -> [B,P,7,7,C]. Gate with pallas_pool_feasible
+    (and pallas_pool_bwd_feasible when differentiating).
+    """
+    out, _ = _roi_pool_tpu_fwd(feat, rois, roi_mask, spatial_scale, pooled)
+    return out
+
+
+def _roi_pool_tpu_fwd(feat, rois, roi_mask, spatial_scale, pooled):
+    assert pooled == 7, "kernel is specialized to the shipped 7x7 pooler"
+    feat_p, meta, hp, wp, cw_n, p, pad_p = _prep(feat, rois, roi_mask,
+                                                 spatial_scale)
+    out = _run_fwd(feat_p, meta, hp, wp, cw_n)
+    return out[:, :p], (feat, rois, roi_mask)
+
+
+def _roi_pool_tpu_bwd(spatial_scale, pooled, residuals, g):
+    feat, rois, roi_mask = residuals
+    b, h, w, c = feat.shape
+    feat_p, meta, hp, wp, cw_n, p, pad_p = _prep(feat, rois, roi_mask,
+                                                 spatial_scale)
+    g_p = jnp.pad(g.astype(jnp.float32),
+                  ((0, 0), (0, pad_p), (0, 0), (0, 0), (0, 0)))
+    d = _run_bwd(feat_p, meta, g_p, hp, wp, cw_n)
+    return d[:, :h, :w, :].astype(feat.dtype), None, None
 
 
 roi_pool_tpu.defvjp(_roi_pool_tpu_fwd, _roi_pool_tpu_bwd)

@@ -53,3 +53,23 @@ def test_tuple_coercion():
     cfg = get_default_cfg()
     cfg.merge_from_list(["SOLVER.STEPS", "[100, 200]"])
     assert cfg.SOLVER.STEPS == (100, 200)
+
+
+def test_model_catalog_resolves_locally(tmp_path):
+    """catalog:// WEIGHTs resolve to <weights_root>/<url basename> and fail
+    loudly when absent (VERDICT r1 #8: the round-1 build silently trained
+    from random init because the catalog returned an unreachable URL)."""
+    import pytest
+    from odwscl_tpu.config.catalog import ModelCatalog
+
+    name = "catalog://VGGImageNetPretrained/JCJOHNS/VGG-16"
+    path = ModelCatalog.get(name, str(tmp_path))
+    assert path == str(tmp_path / "vgg16-00b39a1b.pth")
+    with pytest.raises(FileNotFoundError):
+        ModelCatalog.resolve_or_fail(name, str(tmp_path))
+    (tmp_path / "vgg16-00b39a1b.pth").write_bytes(b"x")
+    assert ModelCatalog.resolve_or_fail(name, str(tmp_path)) == path
+    # non-catalog paths pass through untouched
+    assert ModelCatalog.get("/abs/model.pth", str(tmp_path)) == "/abs/model.pth"
+    with pytest.raises(KeyError):
+        ModelCatalog.get("catalog://nope", str(tmp_path))

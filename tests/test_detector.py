@@ -88,3 +88,68 @@ def test_eval_forward_shapes(setup):
     assert boxes.shape == (b, p, 6 * 4)
     assert np.isfinite(np.asarray(scores)).all()
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+@pytest.mark.parametrize("predictor,contra,regress", [
+    ("WSDDNPredictor", False, False),   # WSDDNLossComputation (loss.py:50-95)
+    ("OICRPredictor", False, False),    # RoILoss, REGRESS_ON: False
+    ("OICRPredictor", True, False),     # contrastive mining without regression
+    ("MISTPredictor", True, False),     # MIST + contra, REGRESS_ON: False
+])
+def test_degenerate_predictor_paths_train(predictor, contra, regress):
+    """Every predictor/loss combination selectable from config must train
+    (VERDICT r1 #6: WSDDNPredictor used to crash on refs=None)."""
+    model = WSODDetector(num_classes=6, mlp_dim=64, cap_a=64, cap_b=32,
+                         gt_cap=16, pooler_win=8, compute_dtype="float32",
+                         predictor=predictor, contra=contra,
+                         regress_on=regress)
+    rng = np.random.RandomState(1)
+    batch = _tiny_batch(rng)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "augment": jax.random.PRNGKey(2)}
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rngs, batch, train=True)
+
+    @jax.jit
+    def step(params, b):
+        def loss_fn(p):
+            losses, metrics = model.apply(
+                {"params": p}, b, train=True,
+                rngs={"dropout": jax.random.PRNGKey(3),
+                      "augment": jax.random.PRNGKey(4)})
+            return jnp.sum(jnp.stack(list(losses.values()))), losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return total, losses, grads
+
+    total, losses, grads = step(variables["params"], batch)
+    assert np.isfinite(float(total))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    if predictor == "WSDDNPredictor":
+        assert set(losses) == {"loss_img"}
+    else:
+        assert "loss_ref_cls0" in losses
+        assert not any(k.startswith("loss_ref_reg") for k in losses)
+    for kp, g in jax.tree_util.tree_leaves_with_path(grads):
+        assert bool(jnp.all(jnp.isfinite(g))), jax.tree_util.keystr(kp)
+
+
+def test_eval_forward_wsddn_heuristic(setup):
+    """REGRESS_HEUR=WSDDN / WSDDNPredictor eval returns proposal boxes."""
+    model = WSODDetector(num_classes=6, mlp_dim=64, cap_a=64, cap_b=32,
+                         gt_cap=16, pooler_win=8, compute_dtype="float32",
+                         predictor="WSDDNPredictor", contra=False,
+                         regress_on=False)
+    rng = np.random.RandomState(2)
+    batch = _tiny_batch(rng)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "augment": jax.random.PRNGKey(2)}, batch, train=True)
+    scores, boxes = jax.jit(model.apply, static_argnames=("train",))(
+        variables, batch, train=False)
+    assert scores.shape == batch.boxes.shape[:2] + (6,)
+    assert boxes.shape == batch.boxes.shape
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(batch.boxes))

@@ -1,65 +1,145 @@
-"""Pallas RoIPool kernel (interpret mode on CPU) vs the CUDA-semantics golden."""
+"""Pallas RoIPool v2 (interpret mode on CPU) vs the CUDA-semantics golden.
 
+VERDICT r1 #2: the kernel must pool bit-exactly for EVERY roi size (SS/MCG
+proposals span up to 2000 px), replacing the round-1 pyramid approximation.
+
+Interpret mode is ~1000x slower than compiled, so the default suite runs two
+compact cases (still covering the small/large kernel classes, invalid rois
+and the backward); the dense size sweeps run with ODWSCL_RUN_SLOW=1 and,
+compiled on real hardware, via tools/validate_roi_pool_tpu.py.
+"""
+
+import functools
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 import odwscl_tpu.ops.roi_pool_pallas as rp
-from odwscl_tpu.ops.roi_pool import roi_pool_numpy
+from odwscl_tpu.ops.roi_pool import roi_pool, roi_pool_numpy
+
+slow = pytest.mark.skipif(os.environ.get("ODWSCL_RUN_SLOW") != "1",
+                          reason="set ODWSCL_RUN_SLOW=1 to run")
 
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):
-    orig = rp._run_fwd
-    monkeypatch.setattr(rp, "_run_fwd",
-                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    for name in ("_run_fwd", "_run_bwd"):
+        monkeypatch.setattr(rp, name, functools.partial(getattr(rp, name),
+                                                        interpret=True))
+    monkeypatch.setattr(rp, "CHUNK", 2)
 
 
-def test_pallas_exact_for_level0_rois():
+def test_exact_small_large_and_invalid():
+    """One call covering: small roi (class 0), wide-large roi spanning the
+    map with a dynamic strip loop (class 2), and an invalid roi -> 0."""
     rng = np.random.RandomState(0)
-    h, w, c = 24, 32, 8
-    feat = rng.randn(1, h, w, c).astype(np.float32)
+    feat = rng.randn(1, 24, 32, 8).astype(np.float32)
     rois = np.array([
-        [16.0, 8.0, 100.0, 90.0],
-        [40.0, 40.0, 47.9, 47.9],
-        [200.0, 150.0, 250.0, 180.0],
-        [3.0, 5.0, 30.0, 100.0],
-        [10.0, 10.0, 130.0, 120.0],   # ext exactly WIN
-        [0.0, 0.0, 8.0, 8.0],
-        [5.0, 5.0, 60.0, 60.0],
-        [64.0, 64.0, 127.0, 127.0],
+        [16.0, 8.0, 100.0, 90.0],     # small
+        [0.0, 0.0, 255.0, 191.0],     # 33x25 cells, strip-streamed
+        [0.0, 0.0, 255.0, 191.0],     # same roi, masked invalid
+        [130.0, 90.0, 120.0, 80.0],   # malformed (x2<x1) -> 1x1 cell
     ], dtype=np.float32)
-    mask = np.ones((1, 8), bool)
+    mask = np.array([[True, True, False, True]])
     out = np.asarray(rp.roi_pool_tpu(jnp.array(feat), jnp.array(rois)[None],
                                      jnp.array(mask), 0.125))
     golden = roi_pool_numpy(feat[0], rois, 0.125)
-    np.testing.assert_allclose(out[0], golden, atol=1e-6)
+    np.testing.assert_allclose(out[0, 0], golden[0], atol=0, rtol=0)
+    np.testing.assert_allclose(out[0, 1], golden[1], atol=0, rtol=0)
+    assert np.all(out[0, 2] == 0.0)
+    np.testing.assert_allclose(out[0, 3], golden[3], atol=0, rtol=0)
 
 
-def test_pallas_large_roi_approximation_sane():
-    """Pyramid levels pool over 2^l superblocks whose bin edges can both
-    over- and under-cover the exact bins — assert the approximation stays
-    finite and close in distribution (features ~ N(0,1))."""
-    rng = np.random.RandomState(1)
-    feat = rng.randn(1, 24, 32, 8).astype(np.float32)
-    rois = np.array([[0.0, 0.0, 255.0, 191.0]], dtype=np.float32)  # 33x25 cells
+def test_backward_matches_xla_vjp():
+    """Argmax routing vs the exact XLA pooler's VJP (continuous random
+    features -> no ties, so eq-routing == argmax routing). Covers the
+    small path, the strip-loop path and an off-image roi."""
+    rng = np.random.RandomState(3)
+    feat = jnp.array(rng.randn(1, 16, 24, 8).astype(np.float32))
+    rois = jnp.array(np.array([
+        [16.0, 8.0, 100.0, 90.0],      # small
+        [0.0, 0.0, 180.0, 120.0],      # large (strip loop)
+        [-40.0, -40.0, 50.0, 60.0],    # hangs off the top-left corner
+        [0.0, 0.0, 500.0, 500.0],      # exceeds the map on both axes
+    ], np.float32))[None]
+    mask = jnp.ones((1, 4), bool)
+    g = jnp.array(rng.randn(1, 4, 7, 7, 8).astype(np.float32))
+
+    def loss_pallas(f):
+        return jnp.vdot(rp.roi_pool_tpu(f, rois, mask, 0.125), g)
+
+    def loss_xla(f):
+        # win=80 >= the largest roi extent in CELLS (the 500px roi spans 64
+        # cells) -> the XLA path samples at stride 1, i.e. exactly
+        return jnp.vdot(roi_pool(f, rois, mask, 0.125, 7, win=80), g)
+
+    d_pallas = jax.grad(loss_pallas)(feat)
+    d_xla = jax.grad(loss_xla)(feat)
+    np.testing.assert_allclose(np.asarray(d_pallas), np.asarray(d_xla),
+                               atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# opt-in dense sweeps (interpret mode; minutes each). The same sweeps run
+# compiled on hardware via tools/validate_roi_pool_tpu.py.
+# ---------------------------------------------------------------------------
+
+def sweep_rois():
+    """Rois covering every size class at stride 8: small (<=128 px),
+    narrow-large, wide-large up to 2000 px, degenerate, off-image."""
+    return np.array([
+        [16.0, 8.0, 100.0, 90.0],
+        [40.0, 40.0, 47.9, 47.9],
+        [3.0, 5.0, 30.0, 100.0],
+        [0.0, 0.0, 8.0, 8.0],
+        [10.0, 10.0, 130.0, 120.0],      # ext exactly WIN
+        [5.0, 5.0, 230.0, 110.0],        # narrow-large
+        [5.0, 5.0, 60.0, 500.0],         # tall narrow-large
+        [0.0, 0.0, 255.0, 191.0],
+        [0.0, 0.0, 1990.0, 1480.0],      # near full-map wide-large
+        [300.0, 200.0, 1999.0, 1501.0],
+        [-50.0, -30.0, 100.0, 80.0],
+        [1400.0, 1100.0, 2300.0, 1900.0],
+        [130.0, 90.0, 120.0, 80.0],      # malformed
+        [56.0, 56.0, 56.0, 56.0],        # single cell
+        [0.0, 0.0, 447.0, 447.0],
+        [8.0, 8.0, 119.0, 119.0],
+    ], dtype=np.float32)
+
+
+@slow
+def test_pallas_exact_full_sweep():
+    rng = np.random.RandomState(0)
+    h, w = 188, 250
+    feat = rng.randn(1, h, w, 8).astype(np.float32)
+    rois = sweep_rois()
+    mask = np.ones((1, len(rois)), bool)
     out = np.asarray(rp.roi_pool_tpu(jnp.array(feat), jnp.array(rois)[None],
-                                     jnp.ones((1, 1), bool), 0.125))[0, 0]
-    golden = roi_pool_numpy(feat[0], rois, 0.125)[0]
-    assert np.isfinite(out).all()
-    assert np.abs(out - golden).mean() < 1.0
-    # iid gaussian features are the worst case for superblock pooling (real
-    # CNN features are spatially smooth); expect moderate correlation here.
-    # TODO(perf/quality): double the row window for levels >= 1 to halve the
-    # bin coarseness for large rois.
-    assert np.corrcoef(out.ravel(), golden.ravel())[0, 1] > 0.25
-
-
-def test_pallas_invalid_rois_zero():
-    feat = np.ones((1, 16, 24, 8), np.float32)
-    rois = np.array([[[0, 0, 63, 63], [0, 0, 63, 63]]], np.float32)
-    mask = np.array([[True, False]])
-    out = np.asarray(rp.roi_pool_tpu(jnp.array(feat), jnp.array(rois),
                                      jnp.array(mask), 0.125))
-    assert out[0, 0].max() == 1.0
-    assert out[0, 1].max() == 0.0
+    golden = roi_pool_numpy(feat[0], rois, 0.125)
+    np.testing.assert_allclose(out[0], golden, atol=0, rtol=0)
+
+
+@slow
+def test_pallas_exact_size_grid():
+    """Dense sweep of roi extents 1..260 cells (8..2080 px)."""
+    rng = np.random.RandomState(1)
+    h, w = 200, 260
+    feat = rng.randn(1, h, w, 8).astype(np.float32)
+    sizes = [1, 2, 3, 7, 9, 15, 16, 17, 18, 33, 34, 64, 100, 160, 259]
+    rois = []
+    for i, sy in enumerate(sizes):
+        sx = sizes[(i * 7 + 3) % len(sizes)]
+        y0 = (i * 13) % max(h - sy, 1)
+        x0 = (i * 29) % max(w - sx, 1)
+        rois.append([x0 * 8.0, y0 * 8.0, (x0 + sx) * 8.0 - 1,
+                     (y0 + sy) * 8.0 - 1])
+    rois = np.array(rois, np.float32)
+    mask = np.ones((1, len(rois)), bool)
+    out = np.asarray(rp.roi_pool_tpu(jnp.array(feat), jnp.array(rois)[None],
+                                     jnp.array(mask), 0.125))
+    golden = roi_pool_numpy(feat[0], rois, 0.125)
+    np.testing.assert_allclose(out[0], golden, atol=0, rtol=0)

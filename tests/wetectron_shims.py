@@ -1,0 +1,153 @@
+"""Import shims that make the ACTUAL reference code at /root/reference
+importable on CPU-only torch, so parity tests execute the reference rather
+than a transcription (VERDICT r1 missing #1 / next #4).
+
+Missing third-party deps are replaced with functional equivalents:
+- torchvision.ops.nms  -> pure-torch greedy NMS (torchvision convention,
+  no +1; this is what boxlist_ops actually calls at runtime)
+- yacs.config.CfgNode  -> odwscl_tpu.config.node.CfgNode (API-compatible)
+- apex.amp             -> float_function/half_function = identity
+- wetectron._C         -> stub whose attributes raise on call (the CPU code
+  paths under test never reach the CUDA kernels)
+- wetectron.data(...)  -> empty namespace packages with the real __path__,
+  so leaf modules (voc_eval) import without executing the package
+  __init__ chain (which would pull pycocotools/PIL dataset code)
+"""
+
+import importlib
+import importlib.util
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _fake_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _namespace_package(name, path):
+    """Register `name` as an importable package rooted at `path` WITHOUT
+    executing its real __init__.py."""
+    mod = types.ModuleType(name)
+    mod.__path__ = [path]
+    mod.__package__ = name
+    sys.modules[name] = mod
+    return mod
+
+
+def _torch_nms(boxes, scores, iou_threshold):
+    """torchvision.ops.nms: greedy by score, IoU WITHOUT the +1 convention."""
+    import torch
+
+    order = torch.argsort(scores, descending=True)
+    keep = []
+    suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for idx in order.tolist():
+        if suppressed[idx]:
+            continue
+        keep.append(idx)
+        xx1 = torch.maximum(boxes[idx, 0], boxes[:, 0])
+        yy1 = torch.maximum(boxes[idx, 1], boxes[:, 1])
+        xx2 = torch.minimum(boxes[idx, 2], boxes[:, 2])
+        yy2 = torch.minimum(boxes[idx, 3], boxes[:, 3])
+        inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
+        iou = inter / (areas[idx] + areas - inter).clamp(min=1e-12)
+        suppressed |= iou > iou_threshold
+    import torch as _t
+    return _t.tensor(keep, dtype=_t.int64)
+
+
+_installed = False
+
+
+def install():
+    """Idempotently register the shims and put the reference on sys.path."""
+    global _installed
+    if _installed:
+        return
+    _installed = True
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    # the reference hard-codes .cuda() inside its losses (sim_loss.py:38,72);
+    # make it a no-op so they execute on cpu torch
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+
+    # torchvision
+    tv = _fake_module("torchvision")
+    tv.__path__ = []
+    tv_ops = _fake_module("torchvision.ops", nms=_torch_nms)
+    tv.ops = tv_ops
+    tv.models = _fake_module("torchvision.models")  # imported, unused
+
+    # yacs -> our API-compatible CfgNode
+    from odwscl_tpu.config.node import CfgNode
+    yacs = _fake_module("yacs")
+    yacs_config = _fake_module("yacs.config", CfgNode=CfgNode)
+    yacs.config = yacs_config
+
+    # apex.amp decorators are identity on CPU
+    apex = _fake_module("apex")
+    amp = _fake_module("apex.amp",
+                       float_function=lambda f: f,
+                       half_function=lambda f: f,
+                       promote_function=lambda f: f)
+    apex.amp = amp
+
+    # the compiled extension: attribute access ok, calling raises
+    class _CStub:
+        def __getattr__(self, name):
+            def _missing(*a, **k):
+                raise NotImplementedError(
+                    f"wetectron._C.{name} is CUDA-only and not built here")
+            return _missing
+
+    import wetectron  # executes the real (empty) top-level __init__
+    stub = _CStub()
+    wetectron._C = stub
+    sys.modules["wetectron._C"] = stub  # type: ignore[assignment]
+
+    # fvcore weight init helpers (used by the resnet/vgg backbones)
+    import torch.nn as nn
+
+    def c2_msra_fill(module):
+        nn.init.kaiming_normal_(module.weight, mode="fan_out",
+                                nonlinearity="relu")
+        if module.bias is not None:
+            nn.init.constant_(module.bias, 0)
+
+    def c2_xavier_fill(module):
+        nn.init.kaiming_uniform_(module.weight, a=1)
+        if module.bias is not None:
+            nn.init.constant_(module.bias, 0)
+
+    fvcore = _fake_module("fvcore")
+    fvcore_nn = _fake_module("fvcore.nn")
+    wi = _fake_module("fvcore.nn.weight_init",
+                      c2_msra_fill=c2_msra_fill, c2_xavier_fill=c2_xavier_fill)
+    fvcore.nn = fvcore_nn
+    fvcore_nn.weight_init = wi
+
+    # data packages as inert namespaces (leaf modules import fine)
+    base = f"{REFERENCE_ROOT}/wetectron/data"
+    _namespace_package("wetectron.data", base)
+    _namespace_package("wetectron.data.datasets", f"{base}/datasets")
+    _namespace_package("wetectron.data.datasets.evaluation",
+                       f"{base}/datasets/evaluation")
+    _namespace_package("wetectron.data.datasets.evaluation.voc",
+                       f"{base}/datasets/evaluation/voc")
+
+
+def reference_cfg():
+    """The reference's default cfg tree (built with the CfgNode shim)."""
+    install()
+    from wetectron.config import cfg
+    return cfg

@@ -128,19 +128,19 @@ def main():
         if start_iter:
             loader = build_loader(start_iter)  # fast-forward the data order
     elif cfg.MODEL.WEIGHT:
-        path = ModelCatalog.get(cfg.MODEL.WEIGHT)
-        if os.path.exists(path):
-            if path.endswith(".pth") and "model" not in os.path.basename(path):
-                params = import_vgg16_imagenet(jax.device_get(state.params), path)
-            else:
-                params = import_reference_checkpoint(
-                    jax.device_get(state.params), path)
-            state = state.replace(params=jax.tree_util.tree_map(
-                jax.numpy.asarray, params))
-            logger.info("Warm-started from %s", path)
+        # fails hard when the weight file is missing (VERDICT r1 #8): every
+        # shipped config warm-starts from ImageNet and a silent random init
+        # would waste the whole run
+        path = ModelCatalog.resolve_or_fail(
+            cfg.MODEL.WEIGHT, os.path.join(args.data_root, "weights"))
+        if path.endswith(".pth") and "model" not in os.path.basename(path):
+            params = import_vgg16_imagenet(jax.device_get(state.params), path)
         else:
-            logger.warning("WEIGHT %s not found locally (no egress); "
-                           "training from random init", path)
+            params = import_reference_checkpoint(
+                jax.device_get(state.params), path)
+        state = state.replace(params=jax.tree_util.tree_map(
+            jax.numpy.asarray, params))
+        logger.info("Warm-started from %s", path)
 
     meters = (JsonlLogger(os.path.join(cfg.OUTPUT_DIR, "logs"), start_iter)
               if args.use_tensorboard else MetricLogger())

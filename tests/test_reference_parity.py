@@ -278,3 +278,176 @@ def test_filter_pseudo_labels_scribble_parity():
         jnp.array(scribbles)[None], jnp.array(scribble_labels)[None],
         jnp.ones((1, s), bool))
     np.testing.assert_array_equal(np.asarray(ours[0]), ref.numpy())
+
+
+# ---------------------------------------------------------------------------
+# full eval compute path: backbone -> neck -> predictor (weights imported)
+# ---------------------------------------------------------------------------
+
+def test_full_eval_path_parity(tmp_path):
+    """Build the reference torch model, export a checkpoint, import it with
+    utils/weight_import.import_reference_checkpoint, and compare the whole
+    eval forward (backbone conv stack, fc6/fc7 neck, MIST predictor incl.
+    its eval softmaxes, AVG box decoding) on one fixed image. ROIPool is
+    bypassed with the CUDA-semantics numpy golden (the only CUDA-bound op).
+    """
+    import jax
+    from odwscl_tpu.models import WSODDetector, Batch
+    from odwscl_tpu.ops.roi_pool import roi_pool_numpy
+    from odwscl_tpu.utils.weight_import import import_reference_checkpoint
+    from wetectron.modeling.backbone import vgg16 as ref_vgg16
+    from wetectron.modeling.roi_heads.weak_head import roi_weak_predictors
+    from wetectron.structures.bounding_box import BoxList
+
+    CFG.MODEL.BACKBONE.CONV_BODY = "VGG16-OICR"
+    CFG.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 21
+    torch.manual_seed(0)
+    body = ref_vgg16.add_conv_body(CFG)
+    extractor = ref_vgg16.VGG16FC67ROIFeatureExtractor(CFG, 512)
+    predictor = roi_weak_predictors.MISTPredictor(CFG, 4096)
+    body.eval(), extractor.eval(), predictor.eval()
+
+    rng = np.random.RandomState(11)
+    img = rng.randn(1, 3, 64, 64).astype(np.float32) * 30
+    rois = np.array([[0.0, 0.0, 63.0, 63.0], [8.0, 8.0, 40.0, 48.0],
+                     [16.0, 0.0, 63.0, 30.0], [4.0, 4.0, 12.0, 12.0],
+                     [0.0, 32.0, 60.0, 60.0], [20.0, 20.0, 44.0, 44.0]],
+                    np.float32)
+
+    with torch.no_grad():
+        feats = body(torch.tensor(img))[0]                 # [1,512,8,8]
+        pooled = roi_pool_numpy(
+            feats[0].permute(1, 2, 0).numpy(), rois, 0.125)
+        pooled_t = torch.tensor(pooled).permute(0, 3, 1, 2).reshape(
+            len(rois), -1)
+        # the classifier flattens NCHW; our neck flattens NHWC -> feed the
+        # SAME flat layout the importer's fc6 permutation expects (NCHW)
+        roi_feats = extractor.classifier(pooled_t)
+        bl = BoxList(torch.tensor(rois), (64, 64), mode="xyxy")
+        cls_s, det_s, ref_s, bbox_p = predictor(roi_feats, [bl])
+
+    # export a reference-format checkpoint
+    sd = {}
+    for k, v in body.state_dict().items():
+        sd[f"backbone.{k}"] = v
+    for k, v in extractor.state_dict().items():
+        sd[f"roi_heads.feature_extractor.{k}"] = v
+    for k, v in predictor.state_dict().items():
+        sd[f"roi_heads.predictor.{k}"] = v
+    path = str(tmp_path / "model_ref.pth")
+    torch.save({"model": sd}, path)
+
+    model = WSODDetector(num_classes=21, compute_dtype="float32",
+                         pooler_win=16)
+    batch = Batch(images=jnp.array(img.transpose(0, 2, 3, 1)),
+                  image_sizes=jnp.array([[64.0, 64.0]]),
+                  boxes=jnp.array(rois)[None],
+                  box_mask=jnp.ones((1, len(rois)), bool))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "augment": jax.random.PRNGKey(2)}, batch, train=False)
+    params = import_reference_checkpoint(
+        jax.device_get(variables["params"]), path)
+    scores, boxes = jax.jit(model.apply, static_argnames=("train",))(
+        {"params": params}, batch, train=False)
+
+    # reference eval outputs: predictor returns softmaxed cls/det + ref
+    # softmaxes; AVG heuristic = mean ref scores + mean decoded boxes
+    ref_avg = torch.stack(ref_s).mean(0).numpy()
+    np.testing.assert_allclose(np.asarray(scores[0]), ref_avg,
+                               rtol=2e-3, atol=2e-5)
+    from wetectron.modeling.box_coder import BoxCoder
+    coder = BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
+    ref_deltas = torch.stack(bbox_p).mean(0)
+    ref_boxes = coder.decode(ref_deltas, torch.tensor(rois)).numpy()
+    ref_boxes = ref_boxes.clip(0, 63)   # clip_to_image, TO_REMOVE=1
+    np.testing.assert_allclose(np.asarray(boxes[0]).reshape(len(rois), 21, 4),
+                               ref_boxes.reshape(len(rois), 21, 4),
+                               rtol=1e-3, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# full non-contrastive loss dict (RoIRegLoss, contra=False -> oicr refinement)
+# ---------------------------------------------------------------------------
+
+def test_noncontra_loss_dict_parity():
+    """Execute RoIRegLossComputation (loss.py:233-411) with contra=False on
+    a ragged 2-image batch and match every loss/accuracy term against the
+    rebuild's batched-masked composition (the detector's train_forward
+    assembly for the OICR branch)."""
+    import jax
+    from wetectron.modeling.roi_heads.weak_head.loss import (
+        RoIRegLossComputation)
+    from odwscl_tpu.losses import (wsddn_final_score, mil_loss, oicr_layer,
+                                   refinement_cls_loss, refinement_reg_loss,
+                                   avg_image_accuracy)
+
+    rng = np.random.RandomState(12)
+    c = 21
+    p_per = [30, 25]
+    gt_labels = [[2, 5], [7]]
+    boxes = [_random_boxes(rng, n) for n in p_per]
+    cls_logit = [rng.randn(n, c).astype(np.float32) for n in p_per]
+    det_logit = [rng.randn(n, c).astype(np.float32) for n in p_per]
+    refs = [[rng.randn(n, c).astype(np.float32) for n in p_per]
+            for _ in range(3)]
+    bbox = [[(rng.randn(n, 4 * c) * 0.2).astype(np.float32) for n in p_per]
+            for _ in range(3)]
+
+    # -- reference --
+    CFG.SOLVER.CONTRA = False
+    CFG.MODEL.ROI_WEAK_HEAD.OICR_P = 0.0
+    CFG.MODEL.ROI_BOX_HEAD.NUM_CLASSES = c
+    try:
+        evaluator = RoIRegLossComputation(CFG)
+        proposals = [_boxlist(b) for b in boxes]
+        targets = []
+        for i, gl in enumerate(gt_labels):
+            t = _boxlist(np.zeros((len(gl), 4), np.float32))
+            t.add_field("labels", torch.tensor(gl))
+            targets.append(t)
+        catn = lambda xs: torch.tensor(np.concatenate(xs))
+        ref_losses, ref_accs = evaluator(
+            [catn(cls_logit)], [catn(det_logit)],
+            [catn(r) for r in refs], [catn(b) for b in bbox],
+            None, None, None, None, proposals, targets)
+    finally:
+        CFG.SOLVER.CONTRA = False  # the yacs default
+
+    # -- rebuild (padded/masked; the detector's composition) --
+    b, p = 2, 32
+    pad = lambda xs, d: np.stack([np.pad(x, ((0, p - len(x)), (0, 0)))
+                                  for x in xs])
+    bx = jnp.array(pad(boxes, 4))
+    mask = jnp.array(np.arange(p)[None, :] < np.array(p_per)[:, None])
+    labels = np.zeros((b, c), np.float32)
+    for i, gl in enumerate(gt_labels):
+        labels[i, gl] = 1.0
+    labels = jnp.array(labels)
+    cls_j = jnp.array(pad(cls_logit, c))
+    det_j = jnp.array(pad(det_logit, c))
+    refs_j = [jnp.array(pad(r, c)) for r in refs]
+    bbox_j = [jnp.array(pad(bb, 4 * c)) for bb in bbox]
+
+    final = wsddn_final_score(cls_j, det_j, mask)
+    ours = {"loss_img": mil_loss(final, labels)}
+    labels_fg = labels[:, 1:] > 0
+    ref_softmax = [jax.nn.softmax(r, axis=-1) for r in refs_j]
+    for i in range(3):
+        src = final if i == 0 else ref_softmax[i - 1]
+        pl = oicr_layer(bx, mask, src[..., 1:], labels_fg, fg_iou=0.5)
+        lam = 3.0 if i == 0 else 1.0
+        ours[f"loss_ref_cls{i}"] = lam * refinement_cls_loss(
+            refs_j[i], pl.labels, pl.weights, mask)
+        ours[f"loss_ref_reg{i}"] = lam * refinement_reg_loss(
+            bbox_j[i], pl.labels, pl.weights, pl.reg_targets, mask, False)
+
+    for k in ("loss_img", "loss_ref_cls0", "loss_ref_cls1", "loss_ref_cls2",
+              "loss_ref_reg0", "loss_ref_reg1", "loss_ref_reg2"):
+        np.testing.assert_allclose(float(ours[k]), float(ref_losses[k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+
+    img_score = jnp.clip(final.sum(axis=1), 1e-8, 1 - 1e-8)
+    acc = avg_image_accuracy(jnp.clip(labels, 0, 1), img_score)
+    np.testing.assert_allclose(float(acc), float(ref_accs["acc_img"]),
+                               atol=1e-6)

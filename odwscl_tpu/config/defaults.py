@@ -125,6 +125,7 @@ _C.SOLVER.CHECKPOINT_PERIOD = 2500
 _C.SOLVER.IMS_PER_BATCH = 16
 _C.SOLVER.ITER_SIZE = -1
 _C.SOLVER.CONTRA = False
+_C.SOLVER.CLASS_BATCH = False  # pair images sharing a class (grouped_batch_sampler.py:124)
 
 _C.SOLVER_CDB = CfgNode()
 _C.SOLVER_CDB.BASE_LR = 0.001

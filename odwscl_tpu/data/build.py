@@ -17,7 +17,8 @@ from .voc import PascalVOCDataset
 from .coco_dataset import COCODataset
 from .transforms import TrainTransform, EvalTransform, build_train_transform
 from .collate import BatchCollator, collator_from_cfg
-from .samplers import IterationBatchSampler, InferenceSampler, aspect_ratio_groups
+from .samplers import (IterationBatchSampler, InferenceSampler,
+                       aspect_ratio_groups, class_batch_pairs)
 from ..config.catalog import DatasetCatalog
 
 logger = logging.getLogger("odwscl_tpu.data")
@@ -77,15 +78,21 @@ class TrainLoader:
                  collator: BatchCollator, batch_size: int, max_iter: int,
                  start_iter: int = 0, seed: int = 1234,
                  aspect_grouping: bool = True, num_workers: int = 4,
-                 process_count: int = 1, process_index: int = 0):
+                 process_count: int = 1, process_index: int = 0,
+                 class_batch: bool = False):
         self.dataset = dataset
         self.transform = transform
         self.collator = collator
         groups = aspect_ratio_groups(dataset) if aspect_grouping else None
+        # SOLVER.CLASS_BATCH (grouped_batch_sampler.py:124-250): batches of
+        # image pairs sharing a class, for contrastive pair mining
+        ebf = ((lambda epoch: class_batch_pairs(dataset, batch_size, epoch))
+               if class_batch else None)
         self.sampler = IterationBatchSampler(
             len(dataset), batch_size, max_iter, start_iter=start_iter,
-            groups=groups, process_count=process_count,
-            process_index=process_index)
+            groups=None if class_batch else groups,
+            process_count=process_count,
+            process_index=process_index, epoch_batches_fn=ebf)
         self.seed = seed
         self.num_workers = max(num_workers, 1)
 
@@ -166,6 +173,7 @@ def make_train_loader(cfg, start_iter: int = 0, data_root: str = "datasets",
                        max_iter=cfg.SOLVER.MAX_ITER, start_iter=start_iter,
                        seed=cfg.SEED,
                        aspect_grouping=cfg.DATALOADER.ASPECT_RATIO_GROUPING,
+                       class_batch=cfg.SOLVER.CLASS_BATCH,
                        num_workers=cfg.DATALOADER.NUM_WORKERS,
                        process_count=process_count, process_index=process_index)
 

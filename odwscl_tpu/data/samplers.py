@@ -34,7 +34,7 @@ class IterationBatchSampler:
                  num_iterations: int, start_iter: int = 0,
                  shuffle: bool = True, groups: Optional[np.ndarray] = None,
                  process_count: int = 1, process_index: int = 0,
-                 drop_uneven: bool = False):
+                 drop_uneven: bool = False, epoch_batches_fn=None):
         assert batch_size % process_count == 0 or process_count == 1
         self.n = dataset_len
         self.batch_size = batch_size
@@ -44,8 +44,12 @@ class IterationBatchSampler:
         self.groups = groups
         self.process_count = process_count
         self.process_index = process_index
+        # optional override, e.g. class_batch_pairs for SOLVER.CLASS_BATCH
+        self.epoch_batches_fn = epoch_batches_fn
 
     def _epoch_batches(self, epoch: int) -> List[np.ndarray]:
+        if self.epoch_batches_fn is not None:
+            return [np.asarray(b) for b in self.epoch_batches_fn(epoch)]
         rng = np.random.RandomState(epoch)
         order = rng.permutation(self.n) if self.shuffle else np.arange(self.n)
         # pad to a multiple of total batch (DistributedSampler:42-46)

@@ -81,8 +81,12 @@ def make_train_step(model: WSODDetector, tx: optax.GradientTransformation
 def do_train(model: WSODDetector, state: TrainState, tx, schedule,
              data_iter, max_iter: int, checkpoint_period: int = 0,
              checkpointer=None, log_period: int = 20, mesh=None,
-             meters=None, start_iter: int = 0):
-    """Iteration-based training loop (trainer.py:79-158)."""
+             meters=None, start_iter: int = 0, profile_dir: str = ""):
+    """Iteration-based training loop (trainer.py:79-158).
+
+    profile_dir: when set, captures a jax.profiler trace of iterations
+    2..6 into that directory (the SURVEY section 5 tracing hook; the
+    reference only logged wall-clock timers)."""
     if mesh is None:
         mesh = make_mesh()
     state = replicate(mesh, state)
@@ -91,9 +95,17 @@ def do_train(model: WSODDetector, state: TrainState, tx, schedule,
     start = time.time()
     end = time.time()
     it = start_iter
+    profiling = False
     for batch in data_iter:
         if it >= max_iter:
             break
+        if profile_dir and it == start_iter + 1 and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+        if profiling and it >= start_iter + 6:
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info("Wrote profiler trace to %s", profile_dir)
         # skip batches with no image-level labels (trainer.py:80-82)
         if batch.labels is not None and float(batch.labels.sum()) == 0:
             logger.error("iteration=%d skipped: empty targets", it + 1)
@@ -121,6 +133,8 @@ def do_train(model: WSODDetector, state: TrainState, tx, schedule,
             logger.info(msg)
         if checkpointer is not None and checkpoint_period and it % checkpoint_period == 0:
             checkpointer.save(it, state)
+    if profiling:
+        jax.profiler.stop_trace()
     if checkpointer is not None:
         checkpointer.save(it, state, final=True)
     total = time.time() - start

@@ -80,9 +80,10 @@ def _match_image(det_boxes, det_scores, gt_boxes, gt_crowd, gt_ignore_area):
                 dt_m[ti, di] = best
                 gt_m[ti, best] = di
     dt_ig = np.zeros((t, d), bool)
-    for ti in range(t):
-        m = dt_m[ti]
-        dt_ig[ti] = (m >= 0) & gt_ig[np.clip(m, 0, None)]
+    if g:
+        for ti in range(t):
+            m = dt_m[ti]
+            dt_ig[ti] = (m >= 0) & gt_ig[np.clip(m, 0, None)]
     return order, dt_m, dt_ig, int((~gt_ig).sum())
 
 

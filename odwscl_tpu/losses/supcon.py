@@ -3,15 +3,13 @@
 Reference: wetectron/modeling/roi_heads/sim_head/sim_loss.py. The reference
 concatenates per-class embedding banks into a ragged [E, 128] tensor; here
 entries arrive as a fixed-capacity slot buffer (embeddings + integer class
-labels + validity + multiplicity) produced by the miner's compaction, so
+labels + validity) produced by the miner's compaction, so
 the whole loss is one static [E, E] masked matrix.
 
-Multiplicity: the reference may insert the *same* embedding into a bank more
+Duplicates: the reference may insert the *same* embedding into a bank more
 than once (the stage-B `max_index` fallback re-adds an entry that stage A
-already contributed). Rather than duplicating rows we carry an integer
-multiplicity m per slot; a slot duplicated m times contributes m rows to the
-loss and (m - self) terms to every other row's sums — algebraically identical
-to physically repeating the row.
+already contributed). The miner's compaction emits such duplicates as
+separate slots, so they appear here as ordinary repeated rows.
 """
 
 from __future__ import annotations
@@ -22,13 +20,12 @@ import jax.numpy as jnp
 
 def supcon_v2_loss(features: jnp.ndarray, labels: jnp.ndarray,
                    hardness: jnp.ndarray, valid: jnp.ndarray,
-                   multiplicity: jnp.ndarray, temperature: float = 0.2
-                   ) -> jnp.ndarray:
+                   temperature: float = 0.2) -> jnp.ndarray:
     """SupConLossV2 (sim_loss.py:44-80), the default ``cfg.loss='supconv2'``.
 
     features: [E, D] L2-normalized; labels: [E] int class ids;
     hardness: [E] detached per-entry weights (`score_col`);
-    valid: [E] bool; multiplicity: [E] int (>=1 for valid slots).
+    valid: [E] bool.
 
     loss_e = -hardness_e * log( sum_{e'~e, same label} exp(s_ee') /
                                 sum_{e'~e} exp(s_ee') ),  mean over entries,
@@ -47,27 +44,25 @@ def supcon_v2_loss(features: jnp.ndarray, labels: jnp.ndarray,
     sim = sim - jax.lax.stop_gradient(row_max)
 
     exp_sim = jnp.where(col_valid, jnp.exp(sim), 0.0)
-    m = multiplicity.astype(jnp.float32)
+    valid_f = valid.astype(jnp.float32)
 
     same = (labels[:, None] == labels[None, :]) & valid[:, None] & col_valid
     diag_exp = jnp.diagonal(exp_sim)
 
-    # sum over all other entries, counting multiplicity; each copy excludes
-    # itself exactly once -> subtract one diagonal term per row.
-    denom = exp_sim @ m - diag_exp
-    numer = jnp.where(same, exp_sim, 0.0) @ m - diag_exp
+    # sums over all other entries: each row excludes exactly its own
+    # diagonal term (the reference's logits_mask)
+    denom = exp_sim @ valid_f - diag_exp
+    numer = jnp.where(same, exp_sim, 0.0) @ valid_f - diag_exp
 
     safe = valid & (numer > 0) & (denom > 0)
     log_prob = jnp.log(jnp.clip(numer, 1e-30) / jnp.clip(denom, 1e-30))
     per_entry = jnp.where(safe, -log_prob * hardness, 0.0)
 
-    count = jnp.sum(jnp.where(valid, m, 0.0))
-    return jnp.sum(per_entry * m) / jnp.clip(count, 1.0)
+    return jnp.sum(per_entry) / jnp.clip(jnp.sum(valid_f), 1.0)
 
 
 def supcon_loss(features: jnp.ndarray, labels: jnp.ndarray,
-                valid: jnp.ndarray, multiplicity: jnp.ndarray,
-                temperature: float = 0.2) -> jnp.ndarray:
+                valid: jnp.ndarray, temperature: float = 0.2) -> jnp.ndarray:
     """Classic SupCon, log-softmax form (sim_loss.py:7-42, ``cfg.loss='supcon'``).
 
     per_entry = -(1/|same|) * sum_{e' same, e'!=e} log softmax_e'(sim_e)
@@ -83,7 +78,7 @@ def supcon_loss(features: jnp.ndarray, labels: jnp.ndarray,
     sim = sim - jax.lax.stop_gradient(row_max)
 
     exp_sim = jnp.where(col_valid, jnp.exp(sim), 0.0)
-    m = multiplicity.astype(jnp.float32)
+    m = valid.astype(jnp.float32)
     diag_exp = jnp.diagonal(exp_sim)
     denom = exp_sim @ m - diag_exp  # logits_mask: all but self
 
@@ -98,5 +93,4 @@ def supcon_loss(features: jnp.ndarray, labels: jnp.ndarray,
     cnt = same_f @ m
     per_entry = jnp.where(valid & (cnt > 0), -num / jnp.clip(cnt, 1.0), 0.0)
 
-    count = jnp.sum(jnp.where(valid, m, 0.0))
-    return jnp.sum(per_entry * m) / jnp.clip(count, 1.0)
+    return jnp.sum(per_entry) / jnp.clip(jnp.sum(m), 1.0)

@@ -277,12 +277,11 @@ class WSODDetector(nn.Module):
                          a, self.mining_nms, self.cap_b)
             feats_e, labels_e, hard_e, valid_e = assemble_bank(
                 a, sb, z_clean, z_drop, z_noise)
-            mult = jnp.ones_like(labels_e, jnp.int32)
             if self.loss_type == "supconv2":
-                sim = supcon_v2_loss(feats_e, labels_e, hard_e, valid_e, mult,
+                sim = supcon_v2_loss(feats_e, labels_e, hard_e, valid_e,
                                      self.temperature)
             else:
-                sim = supcon_loss(feats_e, labels_e, valid_e, mult,
+                sim = supcon_loss(feats_e, labels_e, valid_e,
                                   self.temperature)
             losses["loss_sim"] = self.lmda * sim
             metrics["bank_overflow"] = (a.overflow + sb.overflow).astype(jnp.float32)

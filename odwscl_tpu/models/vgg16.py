@@ -38,6 +38,35 @@ FREEZE_CONV_COUNTS = [2, 4, 7, 10, 13]
 _KAIMING_OUT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class _ShiftedInputConv(nn.Module):
+    """3x3 stride-1 conv computed as shifted-stack + matmul.
+
+    XLA's TPU conv path wastes the MXU when C_in is tiny (the RGB stem conv
+    ran at ~2 TF/s, ~15 ms of the backbone); stacking the 9 shifted views
+    into [B,H,W,9*C_in] turns it into one K=27 GEMM. Parameter names and
+    shapes match nn.Conv exactly, so weight importers are unaffected."""
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", _KAIMING_OUT, (3, 3, cin, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        h, w = x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # (dy, dx, cin) stacking order == row-major kernel flatten order
+        stacked = jnp.concatenate(
+            [xp[:, dy:dy + h, dx:dx + w, :] for dy in range(3)
+             for dx in range(3)], axis=-1)
+        kmat = kernel.reshape(9 * cin, self.features).astype(self.compute_dtype)
+        return (stacked.astype(self.compute_dtype) @ kmat
+                + bias.astype(self.compute_dtype))
+
+
 class VGGBackbone(nn.Module):
     """Returns stride-8 (OICR variant) NHWC features [B, H/8, W/8, 512]."""
 
@@ -60,11 +89,17 @@ class VGGBackbone(nn.Module):
                     ch, dilation, pad = int(v.split("-")[0]), 2, 2
                 else:
                     ch, dilation, pad = int(v), 1, 1
-                x = nn.Conv(ch, (3, 3), padding=[(pad, pad), (pad, pad)],
-                            kernel_dilation=(dilation, dilation),
-                            dtype=self.compute_dtype, param_dtype=jnp.float32,
-                            kernel_init=_KAIMING_OUT,
-                            name=f"conv{conv_idx}")(x)
+                if conv_idx == 0:
+                    # RGB stem: shifted-stack GEMM (same params as nn.Conv)
+                    x = _ShiftedInputConv(ch, self.compute_dtype,
+                                          name=f"conv{conv_idx}")(x)
+                else:
+                    x = nn.Conv(ch, (3, 3), padding=[(pad, pad), (pad, pad)],
+                                kernel_dilation=(dilation, dilation),
+                                dtype=self.compute_dtype,
+                                param_dtype=jnp.float32,
+                                kernel_init=_KAIMING_OUT,
+                                name=f"conv{conv_idx}")(x)
                 conv_idx += 1
                 # the reference strips the final ReLU (vgg16.py:83)
                 if conv_idx < num_convs:

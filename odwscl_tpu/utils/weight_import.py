@@ -168,11 +168,9 @@ def import_reference_checkpoint(params, path: str):
     sd = _load_torch(path)
     params = jax.tree_util.tree_map(np.asarray, params)
     loaded = 0
-    for i, _ in enumerate(_TV_VGG16_CONV_IDX):
-        # reference backbone keys: backbone.body.features.<seq_idx>.weight;
-        # seq indices follow make_layers (vgg16.py:58-83) for VGG16-OICR
-        pass
-    # VGG16-OICR sequential conv indices (convs + relus + pools + identity)
+    # VGG16-OICR sequential conv indices (convs + relus + pools + identity);
+    # reference backbone keys: backbone.body.features.<seq_idx>.weight,
+    # seq indices following make_layers (vgg16.py:58-83)
     seq_idx = []
     idx = 0
     for v in [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",

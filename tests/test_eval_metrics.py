@@ -85,3 +85,140 @@ def test_coco_ap_miss():
     preds = [_det([[200, 200, 240, 240]], [0.9], [1])]
     res = do_coco_evaluation(ds, preds)
     np.testing.assert_allclose(res["AP"], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# COCO AP: randomized N-version validation (VERDICT r1 #7). pycocotools is
+# not installed and has no source on this machine (no egress), so the oracle
+# below is an independently-structured brute-force implementation of the
+# published COCOeval bbox protocol: per-(category, threshold) greedy
+# matching over globally score-sorted detections, AP as max-precision at
+# recall >= r over the 101-point grid.
+# ---------------------------------------------------------------------------
+
+def _oracle_coco_ap(gt_by_img_cat, det_by_img_cat, cat_ids, img_ids,
+                    area_rng, iou_thrs, max_dets=100):
+    import numpy as np
+
+    def iou(db, gb, crowd):
+        lt = np.maximum(db[:, None, :2], gb[None, :, :2])
+        rb = np.minimum(db[:, None, 2:], gb[None, :, 2:])
+        inter = np.clip(rb - lt, 0, None).prod(axis=2)
+        ad = np.clip(db[:, 2:] - db[:, :2], 0, None).prod(axis=1)
+        ag = np.clip(gb[:, 2:] - gb[:, :2], 0, None).prod(axis=1)
+        denom = np.where(crowd[None, :], ad[:, None],
+                         ad[:, None] + ag[None, :] - inter)
+        return inter / np.maximum(denom, 1e-12)
+
+    lo, hi = area_rng
+    aps = []
+    for cat in cat_ids:
+        per_thr_flags = {t: [] for t in iou_thrs}  # (score, img_no, tp, ig)
+        npig = 0
+        for img in img_ids:
+            gb, crowd, areas = gt_by_img_cat.get(
+                (img, cat), (np.zeros((0, 4)), np.zeros(0, bool),
+                             np.zeros(0)))
+            db, scores = det_by_img_cat.get(
+                (img, cat), (np.zeros((0, 4)), np.zeros(0)))
+            keep = np.argsort(-scores, kind="mergesort")[:max_dets]
+            db, scores = db[keep], scores[keep]
+            gt_ig = crowd | (areas < lo) | (areas > hi)
+            # non-ignored gts first, stable
+            go = np.argsort(gt_ig, kind="mergesort")
+            gb, crowd_s, gt_ig = gb[go], crowd[go], gt_ig[go]
+            npig += int((~gt_ig).sum())
+            m = iou(db, gb, crowd_s) if len(db) and len(gb) else None
+            det_area = np.clip(db[:, 2:] - db[:, :2], 0, None).prod(axis=1)
+            for t in iou_thrs:
+                taken = np.zeros(len(gb), bool)
+                for di in range(len(db)):
+                    best, best_iou = -1, min(t, 1 - 1e-10)
+                    for gi in range(len(gb)):
+                        if taken[gi] and not crowd_s[gi]:
+                            continue
+                        if best >= 0 and not gt_ig[best] and gt_ig[gi]:
+                            break
+                        if m is None or m[di, gi] < best_iou:
+                            continue
+                        best, best_iou = gi, m[di, gi]
+                    if best >= 0:
+                        if not crowd_s[best]:
+                            taken[best] = True
+                        per_thr_flags[t].append(
+                            (scores[di], img, bool(gt_ig[best]), True))
+                    else:
+                        out = det_area[di] < lo or det_area[di] > hi
+                        per_thr_flags[t].append(
+                            (scores[di], img, bool(out), False))
+        if npig == 0:
+            continue
+        for t in iou_thrs:
+            flags = per_thr_flags[t]
+            order = sorted(range(len(flags)),
+                           key=lambda i: -flags[i][0])  # unstable ok: see note
+            # stable global sort by -score (mergesort equivalent: python
+            # sorted is stable, and flags are appended in image order)
+            tp = fp = 0
+            pr_at = []
+            for i in order:
+                _, _, ig, matched = flags[i]
+                if ig:
+                    continue
+                if matched:
+                    tp += 1
+                else:
+                    fp += 1
+                pr_at.append((tp / npig, tp / (tp + fp)))
+            ap = 0.0
+            for r in np.linspace(0, 1, 101):
+                best = 0.0
+                for rc, pr in pr_at:
+                    if rc >= r - 1e-12 and pr > best:
+                        best = pr
+                ap += best / 101
+            aps.append(ap)
+    import numpy as np
+    return float(np.mean(aps)) if aps else -1.0
+
+
+def test_coco_eval_matches_independent_oracle():
+    import numpy as np
+    from odwscl_tpu.evaluation.coco_eval import (evaluate_coco_bbox,
+                                                 IOU_THRS, AREA_RANGES)
+
+    rng = np.random.RandomState(42)
+    img_ids = list(range(12))
+    cat_ids = [1, 2, 3]
+    gt_by, det_by = {}, {}
+    for img in img_ids:
+        for cat in cat_ids:
+            g = rng.randint(0, 5)
+            if g:
+                wh = np.exp(rng.uniform(np.log(8), np.log(200), (g, 2)))
+                xy = rng.uniform(0, 400, (g, 2))
+                boxes = np.concatenate([xy, xy + wh], axis=1)
+                crowd = rng.uniform(size=g) < 0.2
+                areas = wh.prod(axis=1)
+                gt_by[(img, cat)] = (boxes, crowd, areas)
+                # detections: jittered copies of some gts + pure noise
+                d = rng.randint(0, 7)
+                if d:
+                    src = boxes[rng.randint(0, g, d)]
+                    jit = rng.randn(d, 4) * rng.choice([2.0, 30.0], d)[:, None]
+                    db = src + jit
+                    db = np.concatenate([np.minimum(db[:, :2], db[:, 2:] - 1),
+                                         np.maximum(db[:, 2:], db[:, :2] + 1)],
+                                        axis=1)
+                    det_by[(img, cat)] = (db, rng.uniform(0.05, 1.0, d))
+            elif rng.uniform() < 0.3:  # dets with no gt at all
+                xy = rng.uniform(0, 400, (2, 2))
+                db = np.concatenate([xy, xy + 20], axis=1)
+                det_by[(img, cat)] = (db, rng.uniform(0.05, 1.0, 2))
+
+    for area in ("all", "small", "medium", "large"):
+        res = evaluate_coco_bbox(gt_by, det_by, cat_ids, img_ids, area)
+        oracle = _oracle_coco_ap(gt_by, det_by, cat_ids, img_ids,
+                                 AREA_RANGES[area], list(IOU_THRS))
+        np.testing.assert_allclose(res["AP"], oracle, atol=1e-9,
+                                   err_msg=area)

@@ -69,22 +69,24 @@ def test_avg_image_accuracy():
     np.testing.assert_allclose(acc, 0.5)
 
 
-def test_supcon_v2_multiplicity_equals_duplicates():
+def test_supcon_v2_duplicate_rows_well_defined():
+    """Duplicate bank entries (the stage-B max_index re-add fallback) flow
+    through as repeated rows; the loss must stay finite and slot order must
+    not matter."""
     rng = np.random.RandomState(0)
     z = rng.randn(6, 8)
     z /= np.linalg.norm(z, axis=1, keepdims=True)
     labels = np.array([0, 0, 1, 1, 1, 0])
     hard = rng.uniform(0.1, 1.0, 6)
-    # duplicate entry 2 physically
     z_dup = np.concatenate([z, z[2:3]])
     l_dup = np.concatenate([labels, labels[2:3]])
     h_dup = np.concatenate([hard, hard[2:3]])
-    a = float(supcon_v2_loss(jnp.array(z), jnp.array(labels), jnp.array(hard),
-                             jnp.ones(6, bool),
-                             jnp.array([1, 1, 2, 1, 1, 1]), 0.2))
-    b = float(supcon_v2_loss(jnp.array(z_dup), jnp.array(l_dup),
-                             jnp.array(h_dup), jnp.ones(7, bool),
-                             jnp.ones(7, jnp.int32), 0.2))
+    a = float(supcon_v2_loss(jnp.array(z_dup), jnp.array(l_dup),
+                             jnp.array(h_dup), jnp.ones(7, bool), 0.2))
+    assert np.isfinite(a)
+    perm = rng.permutation(7)
+    b = float(supcon_v2_loss(jnp.array(z_dup[perm]), jnp.array(l_dup[perm]),
+                             jnp.array(h_dup[perm]), jnp.ones(7, bool), 0.2))
     np.testing.assert_allclose(a, b, rtol=1e-5)
 
 
@@ -95,14 +97,48 @@ def test_supcon_grads_finite_with_invalid_and_zero_rows():
     valid = jnp.array([True] * 4 + [False] * 4)
 
     def f(feats):
-        return supcon_v2_loss(feats, labels, jnp.ones(8), valid,
-                              jnp.ones(8, jnp.int32), 0.2)
+        return supcon_v2_loss(feats, labels, jnp.ones(8), valid, 0.2)
 
     g = jax.grad(f)(jnp.array(z))
     assert bool(jnp.all(jnp.isfinite(g)))
 
     def f2(feats):
-        return supcon_loss(feats, labels, valid, jnp.ones(8, jnp.int32), 0.2)
+        return supcon_loss(feats, labels, valid, 0.2)
 
     g2 = jax.grad(f2)(jnp.array(z))
     assert bool(jnp.all(jnp.isfinite(g2)))
+
+
+def test_pgt_precision_recall_matches_reference_formulas():
+    """utils/pgt_metrics vs a direct transcription of the reference's
+    cal_precision_recall counting (utils/utils.py:80-94)."""
+    from odwscl_tpu.utils.pgt_metrics import pgt_precision_recall
+    from odwscl_tpu.structures.boxes import box_iou
+
+    rng = np.random.RandomState(3)
+    x1y1 = rng.uniform(0, 200, (1, 5, 2))
+    gt = np.concatenate([x1y1, x1y1 + rng.uniform(20, 80, (1, 5, 2))], -1)
+    x1y1 = rng.uniform(0, 200, (1, 8, 2))
+    pgt = np.concatenate([x1y1, x1y1 + rng.uniform(20, 80, (1, 8, 2))], -1)
+    # overlap some pgt with gt exactly
+    pgt[0, 0] = gt[0, 0]
+    pgt[0, 1] = gt[0, 1] + 3
+    gt_mask = np.array([[True] * 4 + [False]])
+    pgt_mask = np.array([[True] * 7 + [False]])
+
+    out = pgt_precision_recall(jnp.array(gt, jnp.float32), jnp.array(gt_mask),
+                               jnp.array(pgt, jnp.float32),
+                               jnp.array(pgt_mask))
+    # NB: signature is (pgt, pgt_mask, gt, gt_mask) — recompute directly
+    out = pgt_precision_recall(jnp.array(pgt, jnp.float32),
+                               jnp.array(pgt_mask),
+                               jnp.array(gt, jnp.float32), jnp.array(gt_mask))
+    iou = np.asarray(box_iou(jnp.array(gt[0, :4], jnp.float32),
+                             jnp.array(pgt[0, :7], jnp.float32)))
+    for t in (0.25, 0.5, 0.75):
+        tp = int((iou > t).sum())
+        fn = int((~(iou > t).any(axis=1)).sum())
+        np.testing.assert_allclose(float(out[f"pgt_prec_{t:.2f}"]), tp / 7,
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(out[f"pgt_rec_{t:.2f}"]),
+                                   tp / max(tp + fn, 1), atol=1e-6)

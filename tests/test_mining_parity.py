@@ -94,8 +94,7 @@ def test_mining_matches_reference(seed):
     # SupCon loss value matches (bank multiset equality via the loss itself)
     feats_e, labels_e, hard_e, valid_e = assemble_bank(
         a, sb, jnp.array(z, f32), z_drop_slots, z_noise_slots)
-    mult = jnp.ones_like(labels_e, jnp.int32)
-    got_loss = float(supcon_v2_loss(feats_e, labels_e, hard_e, valid_e, mult, 0.2))
+    got_loss = float(supcon_v2_loss(feats_e, labels_e, hard_e, valid_e, 0.2))
     want_loss = ref_supcon_v2(ref["features"], ref["labels"], ref["hardness"], 0.2)
     # f32 (jnp) vs f64 (numpy golden) accumulation noise over the bank matmul
     np.testing.assert_allclose(got_loss, want_loss, rtol=1e-3, atol=1e-6)

@@ -180,8 +180,7 @@ def test_supcon_v2_parity():
 
     ref = SupConLossV2(temperature=0.2)(enc, torch.tensor(hard), "cpu")
     ours = supcon_v2_loss(jnp.array(feats), jnp.array(labels),
-                          jnp.array(hard), jnp.ones(len(labels), bool),
-                          jnp.ones(len(labels), jnp.int32), 0.2)
+                          jnp.array(hard), jnp.ones(len(labels), bool), 0.2)
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
 
 
@@ -194,8 +193,7 @@ def test_supcon_plain_parity():
 
     ref = Supcon_Loss(temp=0.2)(enc, "cpu")
     ours = supcon_loss(jnp.array(feats), jnp.array(labels),
-                       jnp.ones(len(labels), bool),
-                       jnp.ones(len(labels), jnp.int32), 0.2)
+                       jnp.ones(len(labels), bool), 0.2)
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
 
 
@@ -207,15 +205,14 @@ def test_supcon_v2_padded_slots_inert():
     _, feats, labels = _bank(rng, [3, 4])
     hard = rng.uniform(0.1, 1.0, len(labels)).astype(np.float32)
     a = supcon_v2_loss(jnp.array(feats), jnp.array(labels), jnp.array(hard),
-                       jnp.ones(len(labels), bool),
-                       jnp.ones(len(labels), jnp.int32), 0.2)
+                       jnp.ones(len(labels), bool), 0.2)
     pad = 5
     fp = np.concatenate([feats, rng.randn(pad, feats.shape[1]).astype(np.float32)])
     lp = np.concatenate([labels, np.zeros(pad, labels.dtype)])
     hp = np.concatenate([hard, np.ones(pad, np.float32)])
     vp = np.concatenate([np.ones(len(labels), bool), np.zeros(pad, bool)])
     b = supcon_v2_loss(jnp.array(fp), jnp.array(lp), jnp.array(hp),
-                       jnp.array(vp), jnp.ones(len(lp), jnp.int32), 0.2)
+                       jnp.array(vp), 0.2)
     np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
 
 

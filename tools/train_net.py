@@ -28,6 +28,12 @@ def parse_args():
     parser.add_argument("--use-tensorboard", action="store_true",
                         help="write JSONL scalars (tensorboard replacement)")
     parser.add_argument("--data-root", default="datasets")
+    parser.add_argument("--profile-dir", default="",
+                        help="capture a jax.profiler trace of iters 2-6")
+    parser.add_argument("--distributed", action="store_true",
+                        help="call jax.distributed.initialize() (multi-host; "
+                             "reads the standard JAX coordinator env vars, "
+                             "replacing the reference's NCCL env:// init)")
     # paper hyperparameter flags (reference train_net.py:196-290)
     for flag, typ in [("nms", float), ("lmda", float), ("iou", float),
                       ("temp", float), ("thres", float), ("loss", str),
@@ -65,6 +71,13 @@ def run_test(cfg, model, variables, data_root):
 
 def main():
     args = parse_args()
+
+    if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # multi-host: one controller process per host (train_net.py:291-293
+        # used torch.distributed NCCL env:// init; jax.distributed wires the
+        # same role via its coordinator service)
+        import jax as _jax
+        _jax.distributed.initialize()
 
     from odwscl_tpu.config import get_default_cfg
     from odwscl_tpu.utils import setup_logger, seed_all_rng, mkdir, save_config
@@ -151,7 +164,8 @@ def main():
     # replacing the reference's second forward/backward (trainer.py:160-236)
     state = do_train(model, state, tx, schedule, iter(loader),
                      cfg.SOLVER.MAX_ITER, cfg.SOLVER.CHECKPOINT_PERIOD,
-                     ckpt, mesh=mesh, meters=meters, start_iter=start_iter)
+                     ckpt, mesh=mesh, meters=meters, start_iter=start_iter,
+                     profile_dir=args.profile_dir)
 
     if not args.skip_test:
         run_test(cfg, model, {"params": state.params}, args.data_root)

@@ -109,23 +109,40 @@ def main():
                        feat, boxes, mask)
         print(f"{tag}: XLA win32 fwd {t*1e3:.1f} ms/batch")
         if rp.pallas_pool_bwd_feasible(fh, fw, 512):
+            # chaining a custom-vjp inside fori explodes XLA compile time;
+            # time single dispatches and subtract the measured tunnel latency
+            triv = jax.jit(lambda x: x + 1.0)
+            z = jnp.zeros((8, 8))
+            float(jnp.sum(triv(z)))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                float(jnp.sum(triv(z)))
+            overhead = (time.perf_counter() - t0) / 5
+
+            # g2 must be an ARGUMENT: closing over it embeds a 1.6 GB
+            # constant in the graph and the compile never finishes
             g2 = jnp.asarray(rng.randn(b, p, 7, 7, 512), jnp.bfloat16)
+            vjp_p = jax.jit(jax.grad(lambda ff, gg: jnp.sum(
+                rp.roi_pool_tpu(ff, boxes, mask, 0.125).astype(jnp.float32)
+                * gg.astype(jnp.float32))))
+            float(jnp.sum(vjp_p(feat, g2).astype(jnp.float32)))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                float(jnp.sum(vjp_p(feat, g2).astype(jnp.float32)))
+            t = (time.perf_counter() - t0) / 5 - overhead
+            print(f"{tag}: pallas v2 fwd+bwd {t*1e3:.1f} ms/batch "
+                  f"(overhead-corrected)")
 
-            def vjp_p(f, bx, m):
-                return (jax.grad(lambda ff: jnp.vdot(
-                    rp.roi_pool_tpu(ff, bx, m, 0.125).astype(jnp.float32),
-                    g2.astype(jnp.float32)))(f),)
-
-            t = chain_time(vjp_p, feat, boxes, mask, n=5)
-            print(f"{tag}: pallas v2 fwd+bwd {t*1e3:.1f} ms/batch")
-
-            def vjp_x(f, bx, m):
-                return (jax.grad(lambda ff: jnp.vdot(
-                    roi_pool(ff, bx, m, 0.125, 7, 32).astype(jnp.float32),
-                    g2.astype(jnp.float32)))(f),)
-
-            t = chain_time(vjp_x, feat, boxes, mask, n=3)
-            print(f"{tag}: XLA win32 fwd+bwd {t*1e3:.1f} ms/batch")
+            vjp_x = jax.jit(jax.grad(lambda ff, gg: jnp.sum(
+                roi_pool(ff, boxes, mask, 0.125, 7, 32).astype(jnp.float32)
+                * gg.astype(jnp.float32))))
+            float(jnp.sum(vjp_x(feat, g2).astype(jnp.float32)))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                float(jnp.sum(vjp_x(feat, g2).astype(jnp.float32)))
+            t = (time.perf_counter() - t0) / 3 - overhead
+            print(f"{tag}: XLA win32 fwd+bwd {t*1e3:.1f} ms/batch "
+                  f"(overhead-corrected)")
         else:
             print(f"{tag}: bwd not feasible at this shape")
 

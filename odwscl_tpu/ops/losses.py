@@ -33,11 +33,19 @@ def sigmoid_focal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     return -pos * term1 * alpha - neg * term2 * (1.0 - alpha)
 
 
-def binary_cross_entropy(probs: jnp.ndarray, targets: jnp.ndarray,
-                         eps: float = 1e-12) -> jnp.ndarray:
-    """Elementwise BCE on probabilities (torch F.binary_cross_entropy)."""
-    probs = jnp.clip(probs, eps, 1.0 - eps)
-    return -(targets * jnp.log(probs) + (1.0 - targets) * jnp.log(1.0 - probs))
+def binary_cross_entropy(probs: jnp.ndarray,
+                         targets: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise BCE on probabilities (torch F.binary_cross_entropy).
+
+    torch clamps each log term at -100 (ATen binary_cross_entropy), so the
+    loss is finite even at probs of exactly 0 or 1 — f32 epsilon-clips like
+    the reference's `clamp(sum, eps, 1-eps)` round back to 1.0 and would
+    otherwise yield inf (seen with saturated softmaxes from a random-init
+    FrozenBN ResNet)."""
+    probs = jnp.clip(probs, 0.0, 1.0)
+    log_p = jnp.maximum(jnp.log(probs), -100.0)
+    log_1mp = jnp.maximum(jnp.log1p(-probs), -100.0)
+    return -(targets * log_p + (1.0 - targets) * log_1mp)
 
 
 def cross_entropy_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -448,3 +448,18 @@ def test_noncontra_loss_dict_parity():
     acc = avg_image_accuracy(jnp.clip(labels, 0, 1), img_score)
     np.testing.assert_allclose(float(acc), float(ref_accs["acc_img"]),
                                atol=1e-6)
+
+
+def test_binary_cross_entropy_matches_torch():
+    """torch F.binary_cross_entropy clamps log terms at -100: finite even at
+    probs of exactly 0/1 (random-init FrozenBN ResNets saturate the WSDDN
+    softmaxes and hit this)."""
+    import torch.nn.functional as F
+    from odwscl_tpu.ops.losses import binary_cross_entropy
+
+    p = np.array([0.0, 1.0, 0.5, 1e-9, 1 - 1e-7, 0.3], np.float32)
+    y = np.array([0.0, 0.0, 1.0, 1.0, 0.0, 1.0], np.float32)
+    ref = F.binary_cross_entropy(torch.tensor(p), torch.tensor(y),
+                                 reduction="none").numpy()
+    ours = np.asarray(binary_cross_entropy(jnp.array(p), jnp.array(y)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,126 @@
+"""Deformable conv v1/v2 vs a literal numpy transcription of
+deform_conv_kernel_cuda.cu:92-250 (bilinear + im2col semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from odwscl_tpu.ops.deform_conv import deform_conv2d, deform_psroi_pooling
+
+
+def _bilinear_np(img, h, w):
+    """img [H, W]; CUDA corner-wise boundary handling."""
+    hgt, wid = img.shape
+    if h <= -1 or h >= hgt or w <= -1 or w >= wid:
+        return 0.0
+    h0, w0 = int(np.floor(h)), int(np.floor(w))
+    lh, lw = h - h0, w - w0
+    hh, hw = 1 - lh, 1 - lw
+    val = 0.0
+    if h0 >= 0 and w0 >= 0:
+        val += hh * hw * img[h0, w0]
+    if h0 >= 0 and w0 + 1 <= wid - 1:
+        val += hh * lw * img[h0, w0 + 1]
+    if h0 + 1 <= hgt - 1 and w0 >= 0:
+        val += lh * hw * img[h0 + 1, w0]
+    if h0 + 1 <= hgt - 1 and w0 + 1 <= wid - 1:
+        val += lh * lw * img[h0 + 1, w0 + 1]
+    return val
+
+
+def deform_conv_np(x, offset, weight, mask=None, stride=(1, 1), pad=(0, 0),
+                   dil=(1, 1), dg=1):
+    """x [B,H,W,Cin], offset [B,Ho,Wo,dg*2*K], weight [kh,kw,Cin,Cout]."""
+    b, hgt, wid, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    ho = (hgt + 2 * pad[0] - (dil[0] * (kh - 1) + 1)) // stride[0] + 1
+    wo = (wid + 2 * pad[1] - (dil[1] * (kw - 1) + 1)) // stride[1] + 1
+    cpg = cin // dg
+    out = np.zeros((b, ho, wo, cout), np.float64)
+    for bi in range(b):
+        for y in range(ho):
+            for xx in range(wo):
+                h_in = y * stride[0] - pad[0]
+                w_in = xx * stride[1] - pad[1]
+                for i in range(kh):
+                    for j in range(kw):
+                        t = i * kw + j
+                        for c in range(cin):
+                            g = c // cpg
+                            oh = offset[bi, y, xx, g * 2 * k + 2 * t]
+                            ow = offset[bi, y, xx, g * 2 * k + 2 * t + 1]
+                            h_im = h_in + i * dil[0] + oh
+                            w_im = w_in + j * dil[1] + ow
+                            v = _bilinear_np(x[bi, :, :, c], h_im, w_im)
+                            if mask is not None:
+                                v *= mask[bi, y, xx, g * k + t]
+                            out[bi, y, xx] += v * weight[i, j, c]
+    return out
+
+
+def test_deform_conv_matches_cuda_transcription():
+    rng = np.random.RandomState(0)
+    b, hgt, wid, cin, cout = 2, 6, 7, 4, 3
+    x = rng.randn(b, hgt, wid, cin).astype(np.float32)
+    w = rng.randn(3, 3, cin, cout).astype(np.float32)
+    for stride, pad, dil, dg in [((1, 1), (1, 1), (1, 1), 1),
+                                 ((2, 2), (1, 1), (1, 1), 2),
+                                 ((1, 1), (2, 2), (2, 2), 1)]:
+        ho = (hgt + 2 * pad[0] - (dil[0] * 2 + 1)) // stride[0] + 1
+        wo = (wid + 2 * pad[1] - (dil[1] * 2 + 1)) // stride[1] + 1
+        off = (rng.randn(b, ho, wo, dg * 2 * 9) * 1.5).astype(np.float32)
+        golden = deform_conv_np(x, off, w, stride=stride, pad=pad, dil=dil,
+                                dg=dg)
+        got = np.asarray(deform_conv2d(
+            jnp.array(x), jnp.array(off), jnp.array(w), stride=stride,
+            padding=pad, dilation=dil, deformable_groups=dg))
+        np.testing.assert_allclose(got, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_modulated_deform_conv_v2():
+    rng = np.random.RandomState(1)
+    b, hgt, wid, cin, cout = 1, 5, 5, 2, 2
+    x = rng.randn(b, hgt, wid, cin).astype(np.float32)
+    w = rng.randn(3, 3, cin, cout).astype(np.float32)
+    off = (rng.randn(b, 5, 5, 18) * 1.0).astype(np.float32)
+    m = rng.uniform(0, 1, (b, 5, 5, 9)).astype(np.float32)
+    golden = deform_conv_np(x, off, w, mask=m, pad=(1, 1))
+    got = np.asarray(deform_conv2d(jnp.array(x), jnp.array(off),
+                                   jnp.array(w), mask=jnp.array(m),
+                                   padding=(1, 1)))
+    np.testing.assert_allclose(got, golden, rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_zero_offset_equals_conv():
+    """With zero offsets the op must reduce to an ordinary convolution."""
+    import jax
+    from flax import linen as nn
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 8, 8, 3).astype(np.float32)
+    w = rng.randn(3, 3, 3, 5).astype(np.float32)
+    off = np.zeros((1, 8, 8, 18), np.float32)
+    got = np.asarray(deform_conv2d(jnp.array(x), jnp.array(off),
+                                   jnp.array(w), padding=(1, 1)))
+    conv = nn.Conv(5, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                   dtype=jnp.float32)
+    ref = np.asarray(conv.apply(
+        {"params": {"kernel": jnp.array(w)}}, jnp.array(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_deform_psroi_pooling_uniform_feature():
+    """Constant position-sensitive maps pool to the constant; zero trans."""
+    feat = np.full((16, 16, 2 * 3 * 3), 1.0, np.float32)
+    for c in range(18):
+        feat[:, :, c] = c
+    rois = np.array([[8.0, 8.0, 56.0, 56.0]], np.float32)
+    out = np.asarray(deform_psroi_pooling(
+        jnp.array(feat), jnp.array(rois), None, out_size=3, out_channels=2,
+        no_trans=True, spatial_scale=0.25, group_size=3))
+    assert out.shape == (1, 3, 3, 2)
+    # bin (py, px) reads group cell (py, px): channel = (gy*3+gx)*oc + c
+    for py in range(3):
+        for px in range(3):
+            for c in range(2):
+                assert abs(out[0, py, px, c] - ((py * 3 + px) * 2 + c)) < 1e-4

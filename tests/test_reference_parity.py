@@ -463,3 +463,70 @@ def test_binary_cross_entropy_matches_torch():
                                  reduction="none").numpy()
     ours = np.asarray(binary_cross_entropy(jnp.array(p), jnp.array(y)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_wsddn_and_roiloss_evaluator_parity():
+    """WSDDNLossComputation (loss.py:50-95) and RoILossComputation
+    (loss.py:95-170, the no-regression refinement) executed on a ragged
+    batch vs the rebuild's composition (the detector's WSDDN and
+    OICR+REGRESS_ON:False paths)."""
+    import jax
+    from wetectron.modeling.roi_heads.weak_head.loss import (
+        WSDDNLossComputation, RoILossComputation)
+    from odwscl_tpu.losses import (wsddn_final_score, mil_loss, oicr_layer,
+                                   refinement_cls_loss)
+
+    rng = np.random.RandomState(14)
+    c = 8
+    p_per = [18, 14]
+    gt_labels = [[2, 5], [7]]
+    boxes = [_random_boxes(rng, n) for n in p_per]
+    cls_logit = [rng.randn(n, c).astype(np.float32) for n in p_per]
+    det_logit = [rng.randn(n, c).astype(np.float32) for n in p_per]
+    refs = [[rng.randn(n, c).astype(np.float32) for n in p_per]
+            for _ in range(3)]
+
+    proposals = [_boxlist(b) for b in boxes]
+    targets = []
+    for gl in gt_labels:
+        t = _boxlist(np.zeros((len(gl), 4), np.float32))
+        t.add_field("labels", torch.tensor(gl))
+        targets.append(t)
+    catn = lambda xs: torch.tensor(np.concatenate(xs))
+
+    CFG.MODEL.ROI_BOX_HEAD.NUM_CLASSES = c
+    CFG.MODEL.ROI_WEAK_HEAD.OICR_P = 0.0
+    w_losses, w_accs = WSDDNLossComputation(CFG)(
+        [catn(cls_logit)], [catn(det_logit)], None, proposals, targets)
+    r_losses, r_accs = RoILossComputation(CFG)(
+        [catn(cls_logit)], [catn(det_logit)],
+        [catn(r) for r in refs], proposals, targets)
+
+    # rebuild
+    b, p = 2, 20
+    pad = lambda xs: np.stack([np.pad(x, ((0, p - len(x)), (0, 0)))
+                               for x in xs])
+    bx = jnp.array(pad(boxes))
+    mask = jnp.array(np.arange(p)[None] < np.array(p_per)[:, None])
+    labels = np.zeros((b, c), np.float32)
+    for i, gl in enumerate(gt_labels):
+        labels[i, gl] = 1.0
+    final = wsddn_final_score(jnp.array(pad(cls_logit)),
+                              jnp.array(pad(det_logit)), mask)
+    ours_img = float(mil_loss(final, jnp.array(labels)))
+    np.testing.assert_allclose(ours_img, float(w_losses["loss_img"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(ours_img, float(r_losses["loss_img"]),
+                               rtol=2e-4)
+
+    labels_fg = jnp.array(labels[:, 1:] > 0)
+    ref_softmax = [jax.nn.softmax(jnp.array(pad(r)), axis=-1) for r in refs]
+    for i in range(3):
+        src = final if i == 0 else ref_softmax[i - 1]
+        pl = oicr_layer(bx, mask, src[..., 1:], labels_fg, fg_iou=0.5)
+        lam = 3.0 if i == 0 else 1.0
+        got = lam * refinement_cls_loss(jnp.array(pad(refs[i])), pl.labels,
+                                        pl.weights, mask)
+        np.testing.assert_allclose(float(got),
+                                   float(r_losses[f"loss_ref{i}"]),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(i))

@@ -106,6 +106,14 @@ class Inferencer:
     def forward_batch(self, batch):
         return self._fwd(self.variables, batch)
 
+    @staticmethod
+    def _match_mask(scores, mask):
+        """REGRESS_HEUR=UNION returns R*P rows per image; tile the proposal
+        mask to match (weak_head.py:135-142)."""
+        import numpy as np
+        k = scores.shape[1] // mask.shape[1]
+        return np.tile(np.asarray(mask), (1, k)) if k > 1 else mask
+
     def predict_samples(self, samples: List[Sample]) -> List[Dict[str, np.ndarray]]:
         """samples: UNtransformed (original) Samples with rois; returns final
         per-image detections in the FIRST transform's coordinate frame
@@ -115,7 +123,7 @@ class Inferencer:
             scores, boxes = self.forward_batch(batch)
             return self._finalize(np.asarray(scores, np.float32),
                                   np.asarray(boxes, np.float32),
-                                  np.asarray(batch.box_mask))
+                                  self._match_mask(scores, batch.box_mask))
 
         import jax.numpy as jnp
 
@@ -133,7 +141,7 @@ class Inferencer:
                 boxes = _unflip_boxes_device(boxes, jnp.asarray(sizes[:, 0]))
             if t_i == 0:
                 ref_sizes = sizes
-                mask0 = batch.box_mask
+                mask0 = self._match_mask(scores, batch.box_mask)
                 sum_scores = scores
                 sum_boxes = boxes
             else:

@@ -201,6 +201,22 @@ class WSODDetector(nn.Module):
         if self.regress_heur == "CLS-AVG" or not self.regress_on:
             scores = jnp.mean(jnp.stack(refs), axis=0)
             return scores, batch.boxes
+        if self.regress_heur == "UNION":
+            # each branch contributes its own copy of the proposals
+            # (weak_head.py:135-142); the engine tiles box_mask to match
+            scores = jnp.concatenate(refs, axis=1)              # [B,RP,C]
+            deltas = jnp.concatenate(bbox, axis=1).astype(jnp.float32)
+            boxes_rep = jnp.concatenate([batch.boxes] * len(refs), axis=1)
+            if self.cls_agnostic_bbox_reg:
+                deltas = deltas[..., -4:]
+            dec = decode_boxes(deltas, boxes_rep, self.reg_weights)
+            rp_ = dec.shape[1]
+            k = dec.shape[-1] // 4
+            dec = dec.reshape(b, rp_, k, 4)
+            dec = clip_to_image(dec, batch.image_sizes[:, None, None, :])
+            if self.cls_agnostic_bbox_reg:
+                dec = jnp.broadcast_to(dec, (b, rp_, self.num_classes, 4))
+            return scores, dec.reshape(b, rp_, -1)
         # AVG (default in all shipped configs)
         scores = jnp.mean(jnp.stack(refs), axis=0)              # [B,P,C]
         deltas = jnp.mean(jnp.stack(bbox), axis=0).astype(jnp.float32)

@@ -153,3 +153,22 @@ def test_eval_forward_wsddn_heuristic(setup):
     assert scores.shape == batch.boxes.shape[:2] + (6,)
     assert boxes.shape == batch.boxes.shape
     np.testing.assert_allclose(np.asarray(boxes), np.asarray(batch.boxes))
+
+
+def test_eval_forward_union_heuristic(setup):
+    """REGRESS_HEUR=UNION concatenates the 3 refinement branches as 3x
+    proposals (weak_head.py:135-142)."""
+    model = WSODDetector(num_classes=6, mlp_dim=64, cap_a=64, cap_b=32,
+                         gt_cap=16, pooler_win=8, compute_dtype="float32",
+                         regress_heur="UNION")
+    rng = np.random.RandomState(3)
+    batch = _tiny_batch(rng)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "augment": jax.random.PRNGKey(2)}, batch, train=True)
+    scores, boxes = jax.jit(model.apply, static_argnames=("train",))(
+        variables, batch, train=False)
+    b, p = batch.boxes.shape[:2]
+    assert scores.shape == (b, 3 * p, 6)
+    assert boxes.shape == (b, 3 * p, 6 * 4)
+    assert np.isfinite(np.asarray(scores)).all()

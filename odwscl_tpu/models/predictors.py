@@ -44,6 +44,32 @@ class _Linear(nn.Module):
                         name="linear")(x)
 
 
+class _KB(nn.Module):
+    """Declares a Dense-shaped (kernel, bias) pair without applying it —
+    lets the predictor fuse every head into ONE matmul (8 separate
+    [N, 4096] x [4096, ~21] matmuls re-read the activation 8x and idle
+    the MXU lanes; fused it is a single [4096, 357] GEMM). The param tree
+    (head_name/linear/{kernel,bias}) is identical to _Linear, so
+    checkpoints and the torch weight importer are unaffected."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, din: int):
+        class Inner(nn.Module):
+            features: int
+
+            @nn.compact
+            def __call__(self, din: int):
+                k = self.param("kernel", _HEAD_INIT, (din, self.features),
+                               jnp.float32)
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                return k, b
+
+        return Inner(self.features, name="linear")(din)
+
+
 class WSDDNPredictor(nn.Module):
     """cls + det linear pair (roi_weak_predictors.py:12-52)."""
 
@@ -94,14 +120,25 @@ class MISTPredictor(nn.Module):
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, List[jnp.ndarray],
                             List[jnp.ndarray]]:
         num_bbox_classes = 2 if self.cls_agnostic_bbox_reg else self.num_classes
-        cls_logit = _Linear(self.num_classes, self.compute_dtype, name="cls_score")(x)
-        det_logit = _Linear(self.num_classes, self.compute_dtype, name="det_score")(x)
-        refs, bbox_preds = [], []
+        din = x.shape[-1]
+        heads = [("cls_score", self.num_classes),
+                 ("det_score", self.num_classes)]
         for i in range(self.num_refs):
-            refs.append(_Linear(self.num_classes, self.compute_dtype,
-                                name=f"ref{i+1}")(x))
-            bbox_preds.append(_Linear(num_bbox_classes * 4, self.compute_dtype,
-                                      name=f"bbox_pred{i+1}")(x))
+            heads.append((f"ref{i+1}", self.num_classes))
+            heads.append((f"bbox_pred{i+1}", num_bbox_classes * 4))
+        kbs = [_KB(feats, name=name)(din) for name, feats in heads]
+        kernel = jnp.concatenate([k for k, _ in kbs], axis=1)
+        bias = jnp.concatenate([b for _, b in kbs], axis=0)
+        fused = (x.astype(self.compute_dtype)
+                 @ kernel.astype(self.compute_dtype)
+                 + bias.astype(self.compute_dtype))
+        outs, off = [], 0
+        for _, feats in heads:
+            outs.append(fused[..., off:off + feats])
+            off += feats
+        cls_logit, det_logit = outs[0], outs[1]
+        refs = outs[2::2]
+        bbox_preds = outs[3::2]
         if not train:
             cls_logit = _softmax_c(cls_logit)
             det_logit = _softmax_p(det_logit, mask)

@@ -5,31 +5,29 @@ on both the eval and train hot paths. Semantics reproduced bit-exactly:
 round-half-up cell coords, malformed rois forced 1x1, integer floor/ceil bin
 edges clipped to the map, empty bins = 0, max-routing backward.
 
-Design (v2 — replaces the round-1 pyramid approximation):
+Design (v3 — replaces the v2 masked-strip kernel; ~3x faster):
 - The feature map is VMEM-resident per (batch, channel-tile) grid cell; roi
   chunks iterate innermost so Mosaic keeps the block loaded.
-- Per-roi class, decided on the host:
-    0 "small"  (roi <= 16x17 cells): each of the 7 row-bins spans <= 3 rows,
-      so the bin max is a dynamic [4, 24, CT] slice + masked reduce; columns
-      reduce with masked maxes over the [7, 24, CT] intermediate. Exact.
-    1 "narrow large" (taller than 16 cells, <= ~33 cells wide): stream the
-      roi in [16, 40, CT] row strips from the resident block, masked-max
-      into a [7, 40, CT] row-bin accumulator, then masked column reduce.
-      Exact for any roi height (strip loop bound is dynamic).
-    2 "medium large" (<= ~81 cells wide): same with [16, 88, CT] strips.
-    3 "wide large": same strip loop at full map width. Exact for any size
-      up to the whole image (SS/MCG proposals reach 2000 px — VERDICT r1 #2).
-- Backward (custom_vjp): recomputes the forward maxima per roi and routes
+- Per roi, the 7 row-bins are computed by looping the bin's EXACT row range
+  [row_lo, row_hi) with a dynamic-bound fori_loop: one [cw, CT] row load +
+  max per row, no row masks, no wasted strip passes (v2 re-applied all 7
+  bin masks to every 8-row strip, which made wide/tall rois ~5x more
+  expensive than the pure reduction work). Column bins then reduce the
+  [7, cw, CT] row-bin scratch the same way: a dynamic-bound loop over the
+  bin's exact columns, one thin [7, CT] sublane slice + max per column.
+- Per-roi column windows (24 / 40 / 88 / full-width classes, chosen on the
+  host) bound the row-load width cw so small rois touch little VMEM.
+- Backward (custom_vjp): recomputes the forward row-bins per roi and routes
   bin cotangents to cells equal to the bin max (the CUDA argmax backward).
-  Exact ties split the cotangent evenly (the jnp reduce-max VJP convention;
-  CUDA picks the first argmax — bf16 rounding makes ties common and any
-  all-maxima routing would multiply gradient mass). All routing math is
-  f32 (exact for bf16 features; bf16 i1 compare vectors also trip Mosaic
-  relayout limits). d_feat accumulates into a VMEM-resident f32 block
-  across roi chunks, so the whole VJP stays on-chip — this replaces the
-  round-1 XLA gather/scatter VJP that cost ~1s/step at train shapes.
-- Feature maps too large for VMEM residency (the biggest TTA scales) fall
-  back to the XLA pooler via the feasibility gates below.
+  Exact ties split the cotangent evenly per reduction stage (columns, then
+  rows — the jnp composed reduce-max VJP convention; CUDA picks the first
+  argmax, but bf16 rounding makes exact ties common and any all-maxima
+  routing would multiply gradient mass). All routing math is f32 (exact
+  for bf16 features; bf16 i1 compare vectors also trip Mosaic relayout
+  limits). d_feat accumulates into a VMEM-resident f32 block across roi
+  chunks, so the whole VJP stays on-chip.
+- Feature maps too large for VMEM residency fall back to the XLA pooler
+  via the feasibility gates below (no shipped eval/train scale needs it).
 """
 
 from __future__ import annotations
@@ -41,22 +39,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 16          # small-roi cap: rows
-WIN_W = 24        # small-roi column window (16 + 8 alignment slack)
-CW_NARROW = 40    # narrow-large column window
-CW_MED = 88       # medium-large column window
-SROWS = 8         # strip height for large rois
-CHUNK = 32        # rois per grid step
-META_N = 36       # int32 scalars per roi (see _roi_meta)
+CW_SMALL = 24     # small-roi column window
+CW_NARROW = 40    # narrow-roi column window
+CW_MED = 88       # medium-roi column window
+CHUNK = 128       # rois per grid step (fewer grid steps = less per-step
+                  # block-switch overhead; meta SMEM + out blocks stay small)
+META_N = 33       # int32 scalars per roi (see _roi_meta)
 # v5e VMEM is 128 MB; the XLA default scoped cap is 16 MB, raised per-call
 # via CompilerParams(vmem_limit_bytes) to the actual block need
 _VMEM_BUDGET = 84 * 1024 * 1024
 
-# meta layout (per roi): 0 cls, 1 valid, 2 ys, 3 xs, 4 xs_l, 5 r0,
-# 6 n_strips, 7 xs_m, 8..14 row_lo, 15..21 row_hi, 22..28 col_lo,
-# 29..35 col_hi  (lo/hi are absolute cell coords clipped to the true map)
-_M_CLS, _M_VALID, _M_YS, _M_XS, _M_XSL, _M_R0, _M_NS, _M_XSM = range(8)
-_M_RLO, _M_RHI, _M_CLO, _M_CHI = 8, 15, 22, 29
+# meta layout (per roi): 0 cls, 1 valid, 2 xs_s, 3 xs_n, 4 xs_m,
+# 5..11 row_lo, 12..18 row_hi, 19..25 col_lo, 26..32 col_hi
+# (lo/hi are absolute cell coords clipped to the true map)
+_M_CLS, _M_VALID, _M_XSS, _M_XSN, _M_XSM = range(5)
+_M_RLO, _M_RHI, _M_CLO, _M_CHI = 5, 12, 19, 26
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,8 +72,8 @@ def _neg_th(dtype):
 # host-side metadata
 # ---------------------------------------------------------------------------
 
-def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cw_n, cw_m):
-    """Per-roi int32 metadata [B, P, META_N] (CUDA cell coords + routing)."""
+def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cws):
+    """Per-roi int32 metadata [B, P, META_N] (CUDA cell coords + windows)."""
     cells = jnp.floor(rois.astype(jnp.float32) * spatial_scale + 0.5)
     cells = cells.astype(jnp.int32)
     x1, y1, x2, y2 = (cells[..., i] for i in range(4))
@@ -89,25 +86,21 @@ def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cw_n, cw_m):
     col_lo = jnp.clip(ph * rw[..., None] // 7 + x1[..., None], 0, w)
     col_hi = jnp.clip(((ph + 1) * rw[..., None] + 6) // 7 + x1[..., None], 0, w)
 
-    ys = jnp.clip(y1, 0, hp - WIN)
+    cw_s, cw_n, cw_m = cws
     aligned = (jnp.clip(x1, 0, wp - 1) // 8) * 8
-    xs = jnp.clip(aligned, 0, wp - WIN_W)
-    xs_l = jnp.clip(aligned, 0, max(wp - cw_n, 0))
-    xs_m = jnp.clip(aligned, 0, max(wp - cw_m, 0))
-    vis_y_hi = jnp.clip(y2 + 1, 0, h)
+    xs_s = jnp.clip(aligned, 0, wp - cw_s)
+    xs_n = jnp.clip(aligned, 0, wp - cw_n)
+    xs_m = jnp.clip(aligned, 0, wp - cw_m)
     vis_x_hi = jnp.clip(x2 + 1, 0, w)
-    r0 = jnp.clip(y1, 0, hp - SROWS)
-    n_strips = jnp.maximum(vis_y_hi - r0, 0)
-    n_strips = (n_strips + SROWS - 1) // SROWS
 
-    is_small = (rh <= WIN) & (rw <= WIN_W - 8 + 1)
-    is_narrow = (vis_x_hi - xs_l) <= cw_n
-    is_med = (vis_x_hi - xs_m) <= cw_m
-    cls = jnp.where(is_small, 0,
-                    jnp.where(is_narrow & (cw_n < wp), 1,
-                              jnp.where(is_med & (cw_m < wp), 2, 3)))
-    head = jnp.stack([cls, mask.astype(jnp.int32), ys, xs, xs_l, r0,
-                      n_strips, xs_m], axis=-1)
+    fits_s = (vis_x_hi - xs_s) <= cw_s
+    fits_n = (vis_x_hi - xs_n) <= cw_n
+    fits_m = (vis_x_hi - xs_m) <= cw_m
+    cls = jnp.where(fits_s & (cw_s < wp), 0,
+                    jnp.where(fits_n & (cw_n < wp), 1,
+                              jnp.where(fits_m & (cw_m < wp), 2, 3)))
+    head = jnp.stack([cls, mask.astype(jnp.int32), xs_s, xs_n, xs_m],
+                     axis=-1)
     return jnp.concatenate([head, row_lo, row_hi, col_lo, col_hi],
                            axis=-1).astype(jnp.int32)
 
@@ -116,43 +109,60 @@ def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cw_n, cw_m):
 # kernel building blocks
 # ---------------------------------------------------------------------------
 
-def _meta_scalar(meta_ref, r, k):
+def _ms(meta_ref, r, k):
     return meta_ref[0, r, k]
 
 
-def _small_rowbins(meta_ref, feat_ref, r, hp):
-    """The 7 row-bin maxima of a small roi: [7, WIN_W, CT] + the per-bin
-    (row_start, slice) pairs for backward reuse."""
-    xs = pl.multiple_of(_meta_scalar(meta_ref, r, _M_XS), 8)
-    parts, slices, starts = [], [], []
+def _rowbins(meta_ref, feat_ref, rb_ref, r, xs, cw, dtype):
+    """Fill rb_ref[:, :cw] with the 7 row-bin maxima of roi r: for each
+    bin, loop its exact row range; one [cw, CT] load + max per row (no
+    row masks, no wasted strip passes)."""
+    ct = feat_ref.shape[-1]
     for ph in range(7):
-        lo = _meta_scalar(meta_ref, r, _M_RLO + ph)
-        hi = _meta_scalar(meta_ref, r, _M_RHI + ph)
-        rs = jnp.clip(lo, 0, hp - 4)
-        sl = feat_ref[0, pl.ds(rs, 4), pl.ds(xs, WIN_W), :]
-        ri = jax.lax.broadcasted_iota(jnp.int32, (4, 1, 1), 0) + rs
-        m = (ri >= lo) & (ri < hi)
-        part = jnp.max(jnp.where(m, sl, _neg(sl.dtype)), axis=0,
-                       keepdims=True)
-        parts.append(part)
-        slices.append((sl, m))
-        starts.append(rs)
-    return jnp.concatenate(parts, axis=0), slices, starts, xs
+        lo = _ms(meta_ref, r, _M_RLO + ph)
+        hi = _ms(meta_ref, r, _M_RHI + ph)
+
+        def body(y, acc):
+            row = feat_ref[0, y, pl.ds(xs, cw), :].reshape(cw, ct)
+            return jnp.maximum(acc, row.astype(acc.dtype))
+
+        acc = jax.lax.fori_loop(
+            lo, hi, body, jnp.full((cw, ct), _neg(dtype), dtype))
+        rb_ref[ph, :cw] = acc
 
 
-def _col_reduce(tmp, meta_ref, r, col_base, cw):
-    """Masked column reduction: tmp [7, cw, CT] -> res [7, 7, CT] (and the
-    per-bin col masks for backward reuse)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, cw, 1), 1) + col_base
-    res_cols, masks = [], []
+def _col_range(meta_ref, r, pw, xs, cw):
+    """The bin's exact column range rel. to the window, plus the aligned
+    group base and count (Mosaic requires sublane offsets % 8 == 0, so
+    columns are visited in 8-wide aligned groups with an iota mask)."""
+    clo = jnp.clip(_ms(meta_ref, r, _M_CLO + pw) - xs, 0, cw)
+    chi = jnp.clip(_ms(meta_ref, r, _M_CHI + pw) - xs, 0, cw)
+    g0 = (clo // 8) * 8
+    ng = jnp.maximum((chi - g0 + 7) // 8, 0)
+    return clo, chi, g0, ng
+
+
+def _colbins(meta_ref, rb_ref, r, xs, cw):
+    """[7, 7, CT] bin maxima from the row-bin scratch: per column-bin,
+    masked maxes over the bin's 8-aligned column groups."""
+    ct = rb_ref.shape[-1]
+    dtype = rb_ref.dtype
+    res_cols = []
     for pw in range(7):
-        clo = _meta_scalar(meta_ref, r, _M_CLO + pw)
-        chi = _meta_scalar(meta_ref, r, _M_CHI + pw)
-        m = (cols >= clo) & (cols < chi)
-        masks.append(m)
-        res_cols.append(jnp.max(jnp.where(m, tmp, _neg(tmp.dtype)), axis=1,
-                                keepdims=True))
-    return jnp.concatenate(res_cols, axis=1), masks
+        clo, chi, g0, ng = _col_range(meta_ref, r, pw, xs, cw)
+
+        def body(g, acc):
+            base = pl.multiple_of(g0 + 8 * g, 8)
+            grp = rb_ref[:, pl.ds(base, 8), :]          # [7, 8, CT]
+            ci = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) + base
+            m = (ci >= clo) & (ci < chi)
+            red = jnp.max(jnp.where(m, grp, _neg(dtype)), axis=1)
+            return jnp.maximum(acc, red)
+
+        acc = jax.lax.fori_loop(
+            0, ng, body, jnp.full((7, ct), _neg(dtype), dtype))
+        res_cols.append(acc[:, None, :])
+    return jnp.concatenate(res_cols, axis=1)           # [7, 7, CT]
 
 
 def _finalize(res, valid):
@@ -162,204 +172,134 @@ def _finalize(res, valid):
     return jnp.where(valid, out, jnp.zeros_like(out))
 
 
-def _large_rowacc(meta_ref, feat_ref, racc_ref, r, hp, cw, xs_slot):
-    """Stream a large roi's strips into the row-bin accumulator
-    racc_ref[:, :cw]. xs_slot: meta index of the aligned column base, or
-    None for full-width. Returns the column base."""
-    xs = (pl.multiple_of(_meta_scalar(meta_ref, r, xs_slot), 8)
-          if xs_slot is not None else 0)
-    r0 = _meta_scalar(meta_ref, r, _M_R0)
-    ns = _meta_scalar(meta_ref, r, _M_NS)
-    racc_ref[:, :cw] = jnp.full(racc_ref[:, :cw].shape,
-                                _neg(racc_ref.dtype), racc_ref.dtype)
-
-    def body(s, _):
-        st = jnp.minimum(r0 + SROWS * s, hp - SROWS)
-        strip = feat_ref[0, pl.ds(st, SROWS), pl.ds(xs, cw), :]
-        ri = jax.lax.broadcasted_iota(jnp.int32, (SROWS, 1, 1), 0) + st
-        for ph in range(7):
-            lo = _meta_scalar(meta_ref, r, _M_RLO + ph)
-            hi = _meta_scalar(meta_ref, r, _M_RHI + ph)
-
-            @pl.when((lo < st + SROWS) & (hi > st))
-            def _():
-                m = (ri >= lo) & (ri < hi)
-                red = jnp.max(jnp.where(m, strip, _neg(strip.dtype)), axis=0)
-                racc_ref[ph, :cw] = jnp.maximum(racc_ref[ph, :cw], red)
-        return 0
-
-    jax.lax.fori_loop(0, ns, body, 0)
-    return xs
-
-
-def _fwd_kernel(meta_ref, feat_ref, out_ref, racc_ref, *, hp, wp, cw_n,
-                cw_m):
+def _fwd_kernel(meta_ref, feat_ref, out_ref, rb_ref, *, wp, cws):
     # rois iterate via fori_loop (not a Python unroll): the kernel program
-    # contains ONE roi body, keeping the Mosaic compile tractable
+    # contains ONE roi body per class, keeping the Mosaic compile
+    # tractable (a 32-roi unroll took 16+ min to compile; an interleaved
+    # 4-roi unroll compiled but ran 2.5x SLOWER — register pressure)
     def body(r, _):
-        cls = _meta_scalar(meta_ref, r, _M_CLS)
-        valid = _meta_scalar(meta_ref, r, _M_VALID) > 0
+        cls = _ms(meta_ref, r, _M_CLS)
+        valid = _ms(meta_ref, r, _M_VALID) > 0
 
         @pl.when(~valid)
         def _():
             out_ref[0, r] = jnp.zeros(out_ref.shape[2:], out_ref.dtype)
 
-        @pl.when(valid & (cls == 0))
-        def _():
-            tmp, _, _, xs = _small_rowbins(meta_ref, feat_ref, r, hp)
-            res, _ = _col_reduce(tmp, meta_ref, r, xs, WIN_W)
+        def run(cw, xs_slot):
+            xs = (pl.multiple_of(_ms(meta_ref, r, xs_slot), 8)
+                  if xs_slot is not None else 0)
+            _rowbins(meta_ref, feat_ref, rb_ref, r, xs, cw, feat_ref.dtype)
+            res = _colbins(meta_ref, rb_ref, r, xs, cw)
             out_ref[0, r] = _finalize(res, valid).astype(out_ref.dtype)
 
-        def large(cw, xs_slot):
-            xs = _large_rowacc(meta_ref, feat_ref, racc_ref, r, hp, cw,
-                               xs_slot)
-            res, _ = _col_reduce(racc_ref[:, :cw], meta_ref, r, xs, cw)
-            out_ref[0, r] = _finalize(res, valid).astype(out_ref.dtype)
-
-        if cw_n < wp:
-            @pl.when(valid & (cls == 1))
-            def _():
-                large(cw_n, _M_XSL)
-
-        if cw_m < wp:
-            @pl.when(valid & (cls == 2))
-            def _():
-                large(cw_m, _M_XSM)
+        for ci, (cw, slot) in enumerate(
+                zip(cws, (_M_XSS, _M_XSN, _M_XSM))):
+            if cw < wp:
+                @pl.when(valid & (cls == ci))
+                def _(cw=cw, slot=slot):
+                    run(cw, slot)
 
         @pl.when(valid & (cls == 3))
         def _():
-            large(wp, None)
+            run(wp, None)
 
         return 0
 
     jax.lax.fori_loop(0, CHUNK, body, 0)
 
 
-def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, racc_ref, dracc_ref,
-                cnt_ref, *, hp, wp, cw_n, cw_m):
+def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, rb_ref, drb_ref, *,
+                wp, cws):
     rc = pl.program_id(2)
 
     @pl.when(rc == 0)
     def _():
         dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
 
+    ct = feat_ref.shape[-1]
+
     def body(r, _):
-        cls = _meta_scalar(meta_ref, r, _M_CLS)
-        valid = _meta_scalar(meta_ref, r, _M_VALID) > 0
+        cls = _ms(meta_ref, r, _M_CLS)
+        valid = _ms(meta_ref, r, _M_VALID) > 0
 
-        @pl.when(valid & (cls == 0))
-        def _():
-            tmp, slices, starts, xs = _small_rowbins(meta_ref, feat_ref, r,
-                                                     hp)
-            # all routing math in f32: bf16 i1 compare vectors trip Mosaic
-            # relayout at some shapes; bf16->f32 is exact so routing is too
-            tmp = tmp.astype(jnp.float32)
-            res, cmasks = _col_reduce(tmp, meta_ref, r, xs, WIN_W)
-            # routing is pure f32 arithmetic: bool vectors only appear in
-            # same-shape compares immediately consumed by where — Mosaic
-            # cannot relayout broadcast/AND'ed i1 operands
-            live = jnp.where(res.astype(jnp.float32) > _neg_th(res.dtype),
-                             1.0, 0.0)                       # [7,7,CT] f32
-            # ties split evenly (the jnp reduce-max VJP convention; CUDA
-            # routes to the first argmax — bf16 rounding makes exact ties
-            # common, and eq-routing would multiply gradient mass)
-            d_tmp = jnp.zeros(tmp.shape, jnp.float32)
-            for pw in range(7):
-                g_pw = (g_ref[0, r, :, pw, :][:, None, :]
-                        * live[:, pw:pw + 1, :])             # [7,1,CT]
-                cm = jnp.where(cmasks[pw], 1.0, 0.0)         # [1,W,1] f32
-                eqf = cm * jnp.where(tmp == res[:, pw:pw + 1, :], 1.0, 0.0)
-                cnt = jnp.sum(eqf, axis=1, keepdims=True)    # [7,1,CT]
-                d_tmp = d_tmp + g_pw * eqf / jnp.maximum(cnt, 1.0)
-            for ph in range(7):
-                sl, m = slices[ph]
-                mf = jnp.where(m, 1.0, 0.0)                  # [4,1,1] f32
-                eqf = mf * jnp.where(
-                    sl.astype(jnp.float32) == tmp[ph:ph + 1], 1.0, 0.0)
-                cnt = jnp.sum(eqf, axis=0, keepdims=True)    # [1,W,CT]
-                d_sl = d_tmp[ph:ph + 1] * eqf / jnp.maximum(cnt, 1.0)
-                cur = dfeat_ref[0, pl.ds(starts[ph], 4), pl.ds(xs, WIN_W), :]
-                dfeat_ref[0, pl.ds(starts[ph], 4), pl.ds(xs, WIN_W), :] = (
-                    cur + d_sl.astype(dfeat_ref.dtype))
-
-        def large_bwd(cw, xs_slot):
-            xs = _large_rowacc(meta_ref, feat_ref, racc_ref, r, hp, cw,
-                               xs_slot)
-            # racc_ref is f32 in the backward call (compare math in f32)
-            racc = racc_ref[:, :cw]
-            res, cmasks = _col_reduce(racc, meta_ref, r, xs, cw)
+        def run(cw, xs_slot):
+            xs = (pl.multiple_of(_ms(meta_ref, r, xs_slot), 8)
+                  if xs_slot is not None else 0)
+            # forward recompute, all f32 (exact for bf16; avoids Mosaic
+            # i1-relayout limits on bf16 compare vectors)
+            _rowbins(meta_ref, feat_ref, rb_ref, r, xs, cw, jnp.float32)
+            res = _colbins(meta_ref, rb_ref, r, xs, cw)   # [7, 7, CT] f32
             live = jnp.where(res > _neg_th(jnp.float32), 1.0, 0.0)
-            dracc_ref[:, :cw] = jnp.zeros((7, cw, racc.shape[-1]),
-                                          dracc_ref.dtype)
+            drb_ref[:, :cw] = jnp.zeros((7, cw, ct), jnp.float32)
+
+            # columns: count ties along the bin's exact column range, then
+            # route g / cnt to tied columns of the row-bin scratch
             for pw in range(7):
-                g_pw = (g_ref[0, r, :, pw, :][:, None, :]
-                        * live[:, pw:pw + 1, :])
-                cm = jnp.where(cmasks[pw], 1.0, 0.0)
-                eqf = cm * jnp.where(racc == res[:, pw:pw + 1, :], 1.0, 0.0)
-                cnt = jnp.sum(eqf, axis=1, keepdims=True)
-                dracc_ref[:, :cw] = (dracc_ref[:, :cw]
-                                     + g_pw * eqf / jnp.maximum(cnt, 1.0))
-            r0 = _meta_scalar(meta_ref, r, _M_R0)
-            ns = _meta_scalar(meta_ref, r, _M_NS)
+                clo, chi, g0, ng = _col_range(meta_ref, r, pw, xs, cw)
+                target = res[:, pw:pw + 1, :]             # [7, 1, CT]
+                g_pw = (g_ref[0, r, :, pw, :] * live[:, pw, :])
 
-            def strip_parts(s):
-                st = jnp.minimum(r0 + SROWS * s, hp - SROWS)
-                strip = feat_ref[0, pl.ds(st, SROWS), pl.ds(xs, cw), :]
-                ri = jax.lax.broadcasted_iota(jnp.int32, (SROWS, 1, 1), 0) + st
-                # clamped strips overlap; own-range mask prevents double adds
-                own = ri >= r0 + SROWS * s
-                return st, strip, ri, own
+                def grp_eq(base):
+                    grp = rb_ref[:, pl.ds(base, 8), :]    # [7, 8, CT] f32
+                    ci = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 8, 1), 1) + base
+                    mf = jnp.where((ci >= clo) & (ci < chi), 1.0, 0.0)
+                    return mf * jnp.where(grp == target, 1.0, 0.0)
 
-            def bin_eq(strip, ri, own, ph):
-                lo = _meta_scalar(meta_ref, r, _M_RLO + ph)
-                hi = _meta_scalar(meta_ref, r, _M_RHI + ph)
-                m = (ri >= lo) & (ri < hi) & own  # same-shape i1 ANDs
-                mf = jnp.where(m, 1.0, 0.0)       # [SROWS,1,1] f32
-                return mf * jnp.where(strip == racc_ref[ph, :cw][None],
-                                      1.0, 0.0)
+                def cnt_body(g, acc):
+                    base = pl.multiple_of(g0 + 8 * g, 8)
+                    return acc + jnp.sum(grp_eq(base), axis=1)
 
-            # pass 1: per-(bin, column) row-tie counts across all strips
-            cnt_ref[:, :cw] = jnp.zeros((7, cw, racc.shape[-1]),
-                                        cnt_ref.dtype)
+                cnt = jax.lax.fori_loop(0, ng, cnt_body,
+                                        jnp.zeros((7, ct), jnp.float32))
+                d_col = g_pw / jnp.maximum(cnt, 1.0)      # [7, CT]
 
-            def count_body(s, _):
-                _, strip, ri, own = strip_parts(s)
-                for ph in range(7):
-                    cnt_ref[ph, :cw] = cnt_ref[ph, :cw] + jnp.sum(
-                        bin_eq(strip, ri, own, ph), axis=0)
-                return 0
+                def route_body(g, _):
+                    base = pl.multiple_of(g0 + 8 * g, 8)
+                    eqf = grp_eq(base)
+                    cur = drb_ref[:, pl.ds(base, 8), :]
+                    drb_ref[:, pl.ds(base, 8), :] = (
+                        cur + d_col[:, None, :] * eqf)
+                    return 0
 
-            jax.lax.fori_loop(0, ns, count_body, 0)
-            # fold the even-split division into dracc once
-            dracc_ref[:, :cw] = dracc_ref[:, :cw] / jnp.maximum(
-                cnt_ref[:, :cw], 1.0)
+                jax.lax.fori_loop(0, ng, route_body, 0)
 
-            def body(s, _):
-                st, strip, ri, own = strip_parts(s)
-                d_strip = jnp.zeros(strip.shape, jnp.float32)
-                for ph in range(7):
-                    d_strip = (d_strip + dracc_ref[ph, :cw][None]
-                               * bin_eq(strip, ri, own, ph))
-                cur = dfeat_ref[0, pl.ds(st, SROWS), pl.ds(xs, cw), :]
-                dfeat_ref[0, pl.ds(st, SROWS), pl.ds(xs, cw), :] = (
-                    cur + d_strip.astype(dfeat_ref.dtype))
-                return 0
+            # rows: per row-bin, count ties along the exact row range, then
+            # route drb / cnt into the resident d_feat block
+            for ph in range(7):
+                lo = _ms(meta_ref, r, _M_RLO + ph)
+                hi = _ms(meta_ref, r, _M_RHI + ph)
+                target = rb_ref[ph, :cw]                  # [cw, CT]
 
-            jax.lax.fori_loop(0, ns, body, 0)
+                def rcnt_body(y, acc):
+                    row = feat_ref[0, y, pl.ds(xs, cw), :].reshape(
+                        cw, ct).astype(jnp.float32)
+                    return acc + jnp.where(row == target, 1.0, 0.0)
 
-        if cw_n < wp:
-            @pl.when(valid & (cls == 1))
-            def _():
-                large_bwd(cw_n, _M_XSL)
+                rcnt = jax.lax.fori_loop(lo, hi, rcnt_body,
+                                         jnp.zeros((cw, ct), jnp.float32))
+                d_row = drb_ref[ph, :cw] / jnp.maximum(rcnt, 1.0)
 
-        if cw_m < wp:
-            @pl.when(valid & (cls == 2))
-            def _():
-                large_bwd(cw_m, _M_XSM)
+                def rroute_body(y, _):
+                    row = feat_ref[0, y, pl.ds(xs, cw), :].reshape(
+                        cw, ct).astype(jnp.float32)
+                    eq = jnp.where(row == target, 1.0, 0.0)
+                    cur = dfeat_ref[0, y, pl.ds(xs, cw), :].reshape(cw, ct)
+                    dfeat_ref[0, y, pl.ds(xs, cw), :] = cur + d_row * eq
+                    return 0
+
+                jax.lax.fori_loop(lo, hi, rroute_body, 0)
+
+        for ci, (cw, slot) in enumerate(
+                zip(cws, (_M_XSS, _M_XSN, _M_XSM))):
+            if cw < wp:
+                @pl.when(valid & (cls == ci))
+                def _(cw=cw, slot=slot):
+                    run(cw, slot)
 
         @pl.when(valid & (cls == 3))
         def _():
-            large_bwd(wp, None)
+            run(wp, None)
 
         return 0
 
@@ -371,9 +311,13 @@ def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, racc_ref, dracc_ref,
 # ---------------------------------------------------------------------------
 
 def _padded_dims(h, w):
-    hp = max(_round_up(h, 8), WIN)
-    wp = max(_round_up(w, 8), WIN_W)
+    hp = max(_round_up(h, 8), 8)
+    wp = max(_round_up(w, 8), CW_SMALL)
     return hp, wp
+
+
+def _cws(wp):
+    return (min(CW_SMALL, wp), min(CW_NARROW, wp), min(CW_MED, wp))
 
 
 def _ct(c, hp, wp, itemsize, bwd):
@@ -393,7 +337,7 @@ def _ct(c, hp, wp, itemsize, bwd):
 def _vmem_need(hp, wp, ct, itemsize, bwd):
     feat = 2 * hp * wp * ct * itemsize
     out = 2 * CHUNK * 49 * ct * (4 if bwd else itemsize)
-    scratch = 7 * wp * ct * (12 if bwd else itemsize)
+    scratch = 7 * wp * ct * (8 if bwd else itemsize)
     dfeat = 2 * hp * wp * ct * 4 if bwd else 0
     return feat + out + scratch + dfeat + (2 << 20)
 
@@ -419,25 +363,23 @@ def pallas_pool_bwd_feasible(h: int, w: int, c: int, itemsize: int = 2) -> bool:
 def _prep(feat, rois, roi_mask, spatial_scale):
     b, h, w, c = feat.shape
     hp, wp = _padded_dims(h, w)
-    cw_n = CW_NARROW if wp > CW_NARROW else wp
-    cw_m = CW_MED if wp > CW_MED else wp
+    cws = _cws(wp)
     p = rois.shape[1]
     pad_p = (-p) % CHUNK
     rois_p = jnp.pad(rois, ((0, 0), (0, pad_p), (0, 0)))
     mask_p = jnp.pad(roi_mask, ((0, 0), (0, pad_p)))
-    meta = _roi_meta(rois_p, mask_p, spatial_scale, h, w, hp, wp, cw_n, cw_m)
+    meta = _roi_meta(rois_p, mask_p, spatial_scale, h, w, hp, wp, cws)
     feat_p = jnp.pad(feat, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    return feat_p, meta, hp, wp, cw_n, cw_m, p, pad_p
+    return feat_p, meta, hp, wp, cws, p, pad_p
 
 
-def _run_fwd(feat_p, meta, hp, wp, cw_n, cw_m, interpret=False):
+def _run_fwd(feat_p, meta, hp, wp, cws, interpret=False):
     b, _, _, c = feat_p.shape
     pp = meta.shape[1]
     isz = jnp.dtype(feat_p.dtype).itemsize
     ct = _ct(c, hp, wp, isz, bwd=False)
     grid = (b, c // ct, pp // CHUNK)
-    kernel = functools.partial(_fwd_kernel, hp=hp, wp=wp, cw_n=cw_n,
-                               cw_m=cw_m)
+    kernel = functools.partial(_fwd_kernel, wp=wp, cws=cws)
     params = pltpu.CompilerParams(
         vmem_limit_bytes=min(_vmem_need(hp, wp, ct, isz, False) + (24 << 20),
                              124 * 1024 * 1024))
@@ -460,14 +402,13 @@ def _run_fwd(feat_p, meta, hp, wp, cw_n, cw_m, interpret=False):
     )(meta, feat_p)
 
 
-def _run_bwd(feat_p, meta, g_p, hp, wp, cw_n, cw_m, interpret=False):
+def _run_bwd(feat_p, meta, g_p, hp, wp, cws, interpret=False):
     b, _, _, c = feat_p.shape
     pp = meta.shape[1]
     isz = jnp.dtype(feat_p.dtype).itemsize
     ct = _ct(c, hp, wp, isz, bwd=True)
     grid = (b, c // ct, pp // CHUNK)
-    kernel = functools.partial(_bwd_kernel, hp=hp, wp=wp, cw_n=cw_n,
-                               cw_m=cw_m)
+    kernel = functools.partial(_bwd_kernel, wp=wp, cws=cws)
     params = pltpu.CompilerParams(
         vmem_limit_bytes=min(_vmem_need(hp, wp, ct, isz, True) + (24 << 20),
                              124 * 1024 * 1024))
@@ -491,7 +432,6 @@ def _run_bwd(feat_p, meta, g_p, hp, wp, cw_n, cw_m, interpret=False):
         # both scratches f32: the backward routing compares in f32 (exact
         # for bf16 inputs) to avoid Mosaic i1-relayout limits on bf16
         scratch_shapes=[pltpu.VMEM((7, wp, ct), jnp.float32),
-                        pltpu.VMEM((7, wp, ct), jnp.float32),
                         pltpu.VMEM((7, wp, ct), jnp.float32)],
         interpret=interpret,
     )(meta, feat_p, g_p)
@@ -511,20 +451,20 @@ def roi_pool_tpu(feat, rois, roi_mask, spatial_scale, pooled=7):
 
 def _roi_pool_tpu_fwd(feat, rois, roi_mask, spatial_scale, pooled):
     assert pooled == 7, "kernel is specialized to the shipped 7x7 pooler"
-    feat_p, meta, hp, wp, cw_n, cw_m, p, pad_p = _prep(feat, rois, roi_mask,
-                                                       spatial_scale)
-    out = _run_fwd(feat_p, meta, hp, wp, cw_n, cw_m)
+    feat_p, meta, hp, wp, cws, p, pad_p = _prep(feat, rois, roi_mask,
+                                                spatial_scale)
+    out = _run_fwd(feat_p, meta, hp, wp, cws)
     return out[:, :p], (feat, rois, roi_mask)
 
 
 def _roi_pool_tpu_bwd(spatial_scale, pooled, residuals, g):
     feat, rois, roi_mask = residuals
     b, h, w, c = feat.shape
-    feat_p, meta, hp, wp, cw_n, cw_m, p, pad_p = _prep(feat, rois, roi_mask,
-                                                       spatial_scale)
+    feat_p, meta, hp, wp, cws, p, pad_p = _prep(feat, rois, roi_mask,
+                                                spatial_scale)
     g_p = jnp.pad(g.astype(jnp.float32),
                   ((0, 0), (0, pad_p), (0, 0), (0, 0), (0, 0)))
-    d = _run_bwd(feat_p, meta, g_p, hp, wp, cw_n, cw_m)
+    d = _run_bwd(feat_p, meta, g_p, hp, wp, cws)
     return d[:, :h, :w, :].astype(feat.dtype), None, None
 
 

@@ -37,6 +37,9 @@ _C.MODEL.ROI_HEADS = CfgNode()
 _C.MODEL.ROI_HEADS.FG_IOU_THRESHOLD = 0.5
 _C.MODEL.ROI_HEADS.BG_IOU_THRESHOLD = 0.5
 _C.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+# partial-label proposal subsampling (reference defaults.py:218-220)
+_C.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+_C.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
 _C.MODEL.ROI_HEADS.SCORE_THRESH = 0.05
 _C.MODEL.ROI_HEADS.NMS = 0.5
 _C.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 100
@@ -177,6 +180,11 @@ _C.TPU.MESH_AXES = ("data",)
 # Compute dtype for backbone/heads ("bfloat16" | "float32"); params and loss
 # math stay float32 (replaces the reference's apex AMP O1).
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
+
+# int8 dynamic-quantized eval matmuls (fc6/fc7) — the MXU's 2x int8 rate;
+# training and the parity suites are unaffected (ops/quant.py). Validated
+# against the bf16 eval path in tests/test_int8_eval.py.
+_C.TPU.INT8_EVAL = False
 
 # ---------------------------------------------------------------------------
 # Misc (reference top-level)

@@ -86,6 +86,61 @@ def _rescale_boxes_device(boxes, rw, rh):
     return out.reshape(b, p, k4)
 
 
+def gather_predictions(predictions: Dict[int, dict], dataset_len: int,
+                       output_folder: Optional[str],
+                       process_count: Optional[int] = None,
+                       process_index: Optional[int] = None,
+                       timeout_s: float = 600.0):
+    """Merge per-process prediction shards (the TPU-native replacement for
+    the reference's pickle all_gather, comm.py:52-92 via
+    engine/inference.py:50-69).
+
+    Eval images are sharded process_index::process_count
+    (data/samplers.py InferenceSampler). Each process writes its shard to
+    ``predictions_shard_{i}.pkl``; process 0 polls for all shards, merges
+    by global image index, verifies full coverage, and returns the ordered
+    list — other processes return None (rank 0 evaluates, matching the
+    reference's is_main_process gate, inference.py:114-117).
+
+    Single-process: no files, returns the sorted list directly.
+    """
+    import jax
+
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    if pc <= 1:
+        return [predictions[i] for i in sorted(predictions)]
+    if not output_folder:
+        raise ValueError("multi-process eval needs a shared output_folder "
+                         "to gather prediction shards")
+    shard = os.path.join(output_folder, f"predictions_shard_{pi}.pkl")
+    with open(shard + ".tmp", "wb") as f:
+        pickle.dump(predictions, f)
+    os.replace(shard + ".tmp", shard)   # atomic: readers never see partials
+    if pi != 0:
+        return None
+    merged = dict(predictions)
+    deadline = time.time() + timeout_s
+    for other in range(1, pc):
+        path = os.path.join(output_folder, f"predictions_shard_{other}.pkl")
+        while not os.path.exists(path):
+            if time.time() > deadline:
+                raise TimeoutError(f"eval shard {other} never appeared at "
+                                   f"{path}")
+            time.sleep(0.2)
+        with open(path, "rb") as f:
+            part = pickle.load(f)
+        overlap = set(merged) & set(part)
+        if overlap:
+            raise RuntimeError(f"prediction shards overlap on image ids "
+                               f"{sorted(overlap)[:5]}...")
+        merged.update(part)
+    if len(merged) != dataset_len:
+        raise RuntimeError(f"gathered {len(merged)} predictions for a "
+                           f"{dataset_len}-image dataset (missing shards?)")
+    return [merged[i] for i in sorted(merged)]
+
+
 class Inferencer:
     """Runs eval forwards (with TTA) and post-processing for one model."""
 
@@ -220,7 +275,10 @@ def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
         dt = time.time() - t0
         logger.info("Inference: %d images in %.1fs (%.4f s/img)",
                     n_images, dt, dt / max(n_images, 1))
-        predictions = [predictions[i] for i in sorted(predictions)]
+        predictions = gather_predictions(predictions, len(dataset),
+                                         output_folder)
+        if predictions is None:         # non-primary process: eval on rank 0
+            return None
         if pred_path:
             with open(pred_path, "wb") as f:
                 pickle.dump(predictions, f)

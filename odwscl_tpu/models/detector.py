@@ -93,12 +93,16 @@ class WSODDetector(nn.Module):
     temperature: float = 0.2          # cfg.temp
     loss_type: str = "supconv2"       # cfg.loss
     fg_iou: float = 0.5               # ROI_HEADS.FG_IOU_THRESHOLD
+    bg_iou: float = 0.5               # ROI_HEADS.BG_IOU_THRESHOLD
+    roi_batch_size: int = 512         # ROI_HEADS.BATCH_SIZE_PER_IMAGE
+    roi_pos_fraction: float = 0.25    # ROI_HEADS.POSITIVE_FRACTION
     reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     # TPU knobs
     cap_a: int = 768
     cap_b: int = 256
     gt_cap: int = 128
     compute_dtype: str = "bfloat16"
+    int8_eval: bool = False           # TPU.INT8_EVAL: quantized serving path
 
     def setup(self):
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -106,7 +110,8 @@ class WSODDetector(nn.Module):
         if self.backbone_arch.startswith("VGG16"):
             self.backbone = VGGBackbone(arch=self.backbone_arch,
                                         compute_dtype=dtype)
-            self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype)
+            self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype,
+                                   int8_eval=self.int8_eval)
         elif self.backbone_arch.startswith("R-"):
             from .resnet import ResNetBackbone, ResNetRoINeck
             depth = "-".join(self.backbone_arch.split("-")[:2])
@@ -234,6 +239,26 @@ class WSODDetector(nn.Module):
     def train_forward(self, batch: Batch
                       ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         boxes, mask, labels = batch.boxes, batch.box_mask, batch.labels
+        # partial labels: balanced FG/BG proposal subsampling BEFORE feature
+        # extraction (weak_head.py:103-105 -> roi_sampler.py:16) — the
+        # trained-on proposal set shrinks to ROI_HEADS.BATCH_SIZE_PER_IMAGE
+        if self.partial_labels == "point" and batch.clicks is not None:
+            from .roi_sampler import match_labels_point, subsample_proposals
+            plab = match_labels_point(boxes, batch.clicks, batch.click_labels,
+                                      batch.click_mask)
+            boxes, mask, _ = subsample_proposals(
+                self.make_rng("augment"), boxes, mask, plab,
+                self.roi_batch_size, self.roi_pos_fraction)
+        elif self.partial_labels == "scribble" and batch.scribbles is not None:
+            from .roi_sampler import (match_labels_scribble,
+                                      subsample_proposals)
+            plab = match_labels_scribble(boxes, batch.scribbles,
+                                         batch.scribble_labels,
+                                         batch.scribble_mask,
+                                         self.fg_iou, self.bg_iou)
+            boxes, mask, _ = subsample_proposals(
+                self.make_rng("augment"), boxes, mask, plab,
+                self.roi_batch_size, self.roi_pos_fraction)
         feats = self.backbone(batch.images)
         pooled = self.pool(feats, boxes, mask, need_grad=True)  # [B,P,r,r,C]
         b, p = pooled.shape[:2]
@@ -378,9 +403,13 @@ def detector_from_cfg(cfg) -> WSODDetector:
         temperature=cfg.temp,
         loss_type=cfg.loss,
         fg_iou=cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
+        bg_iou=cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD,
+        roi_batch_size=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_pos_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
         pooler_win=cfg.TPU.POOLER_WIN,
         cap_a=cfg.TPU.BANK_CAPACITY,
         cap_b=max(cfg.TPU.BANK_CAPACITY // 4, 64),
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        int8_eval=cfg.TPU.INT8_EVAL,
     )

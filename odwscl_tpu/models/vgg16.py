@@ -67,11 +67,45 @@ class _ShiftedInputConv(nn.Module):
                 + bias.astype(self.compute_dtype))
 
 
+class _WinoConv(nn.Module):
+    """3x3 SAME conv via Winograd F(4,3) (ops/winograd.py) — 4x fewer MXU
+    FLOPs than direct conv. Param names/shapes match nn.Conv exactly so
+    checkpoints and the torch weight importer are unaffected."""
+
+    features: int
+    dilation: int = 1
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", _KAIMING_OUT, (3, 3, cin, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        from odwscl_tpu.ops import winograd
+        fn = (winograd.winograd_conv3x3_d2 if self.dilation == 2
+              else winograd.winograd_conv3x3)
+        return fn(x, kernel, bias, self.compute_dtype)
+
+
 class VGGBackbone(nn.Module):
-    """Returns stride-8 (OICR variant) NHWC features [B, H/8, W/8, 512]."""
+    """Returns stride-8 (OICR variant) NHWC features [B, H/8, W/8, 512].
+
+    conv_impl: "direct" uses XLA convs everywhere; "winograd" lowers the
+    >=wino_min_ch stride-1 3x3 convs through Winograd F(4,3) (the 256/512
+    channel blocks run at MXU peak under XLA, so only a FLOP reduction
+    raises throughput further). Param trees are identical across impls.
+    """
 
     arch: str = "VGG16-OICR"
     compute_dtype: jnp.dtype = jnp.bfloat16
+    conv_impl: str = "direct"
+    wino_min_ch: int = 256
+    # RGB stem: nn.Conv beats the round-2 shifted-stack GEMM by ~19 ms at
+    # the bench shape (the [B,H,W,27] stack is HBM-bound); measured
+    # tools/bench_backbone.py r3: 78.3 vs 59.0 ms/batch
+    stem_gemm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -89,10 +123,15 @@ class VGGBackbone(nn.Module):
                     ch, dilation, pad = int(v.split("-")[0]), 2, 2
                 else:
                     ch, dilation, pad = int(v), 1, 1
-                if conv_idx == 0:
+                wino = (self.conv_impl == "winograd"
+                        and min(ch, x.shape[-1]) >= self.wino_min_ch)
+                if conv_idx == 0 and self.stem_gemm:
                     # RGB stem: shifted-stack GEMM (same params as nn.Conv)
                     x = _ShiftedInputConv(ch, self.compute_dtype,
                                           name=f"conv{conv_idx}")(x)
+                elif wino:
+                    x = _WinoConv(ch, dilation, self.compute_dtype,
+                                  name=f"conv{conv_idx}")(x)
                 else:
                     x = nn.Conv(ch, (3, 3), padding=[(pad, pad), (pad, pad)],
                                 kernel_dilation=(dilation, dilation),
@@ -107,29 +146,50 @@ class VGGBackbone(nn.Module):
         return x
 
 
+class _DenseKB(nn.Module):
+    """Dense-shaped (kernel, bias) params without applying them — the neck
+    picks the bf16 or int8 matmul path at call time. The param tree
+    ({name}/{kernel,bias}) matches nn.Dense, so checkpoints and the torch
+    weight importer are unaffected."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, din: int):
+        k = self.param("kernel", nn.initializers.normal(0.01),
+                       (din, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class VGGRoINeck(nn.Module):
     """fc6/fc7 classifier head over flattened pooled RoI features.
 
     Input [N, 7, 7, 512] (or pre-flattened [N, 7*7*512]); output [N, 4096].
     Flattening is (h, w, c) row-major — the torch checkpoint importer
     permutes fc6 weights from the reference's (c, h, w) order.
+
+    int8_eval: quantized serving path (ops/quant.py) for the eval-mode
+    matmuls — int8 MXU at 2x the bf16 rate; training always runs bf16.
     """
 
     hidden_dim: int = 4096
     dropout_rate: float = 0.5
     compute_dtype: jnp.dtype = jnp.bfloat16
+    int8_eval: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.reshape(x.shape[0], -1).astype(self.compute_dtype)
-        x = nn.Dense(self.hidden_dim, dtype=self.compute_dtype,
-                     param_dtype=jnp.float32,
-                     kernel_init=nn.initializers.normal(0.01), name="fc6")(x)
-        x = nn.relu(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.hidden_dim, dtype=self.compute_dtype,
-                     param_dtype=jnp.float32,
-                     kernel_init=nn.initializers.normal(0.01), name="fc7")(x)
-        x = nn.relu(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        for name in ("fc6", "fc7"):
+            k, b = _DenseKB(self.hidden_dim, name=name)(x.shape[-1])
+            if self.int8_eval and not train:
+                from odwscl_tpu.ops.quant import dense_int8
+                x = dense_int8(x, k, b, self.compute_dtype)
+            else:
+                x = (x @ k.astype(self.compute_dtype)
+                     + b.astype(self.compute_dtype))
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x

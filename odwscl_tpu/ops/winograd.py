@@ -139,7 +139,14 @@ def winograd_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     pre-transformed kernel (transform_kernel) to hoist it out of jit.
     """
     b, h, w, cin = x.shape
-    assert h % _TILE == 0 and w % _TILE == 0, (h, w)
+    ph, pw = (-h) % _TILE, (-w) % _TILE
+    if ph or pw:
+        # zero-extend to tile multiples and crop after: SAME-padded conv
+        # outputs in the kept region are unaffected by extra zero rows
+        y = winograd_conv3x3(
+            jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0))), kernel, bias,
+            compute_dtype, u)
+        return y[:, :h, :w, :]
     cout = kernel.shape[-1]
     ty, tx = h // _TILE, w // _TILE
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -165,7 +172,7 @@ def winograd_conv3x3_d2(x: jnp.ndarray, kernel: jnp.ndarray,
     """Dilation-2 SAME 3x3 conv (the OICR conv5 block) via 4-phase
     decomposition into dense 3x3 convs on the (y%2, x%2) parity subgrids."""
     b, h, w, cin = x.shape
-    assert h % 8 == 0 and w % 8 == 0, (h, w)
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
     cout = kernel.shape[-1]
     if u is None:
         u = transform_kernel(kernel)

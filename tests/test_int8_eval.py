@@ -1,0 +1,89 @@
+"""int8 dynamic-quantized eval path (ops/quant.py, TPU.INT8_EVAL).
+
+The quantized serving path must (a) be numerically close to the bf16
+eval matmuls it replaces, (b) share the exact param tree with the bf16
+neck so checkpoints/importers are unaffected, and (c) leave the training
+path bit-identical (the gate only fires when train=False).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from odwscl_tpu.ops.quant import quantize_weights, dense_int8
+from odwscl_tpu.models.vgg16 import VGGRoINeck
+
+
+def test_quantize_weights_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(64, 32).astype(np.float32))
+    q, s = quantize_weights(w)
+    assert q.dtype == jnp.int8
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    # per-channel symmetric int8: worst-case error is half a step
+    step = np.asarray(s)[0]
+    assert np.all(np.abs(back - np.asarray(w)) <= 0.5 * step + 1e-7)
+
+
+def test_dense_int8_close_to_f32():
+    rng = np.random.RandomState(1)
+    # rows with wildly different magnitudes — the per-row activation
+    # scale must track each independently
+    x = rng.randn(16, 256).astype(np.float32)
+    x *= np.logspace(-2, 2, 16)[:, None].astype(np.float32)
+    w = rng.randn(256, 128).astype(np.float32)
+    b = rng.randn(128).astype(np.float32)
+    got = np.asarray(dense_int8(jnp.asarray(x), jnp.asarray(w),
+                                jnp.asarray(b), out_dtype=jnp.float32))
+    ref = x @ w + b
+    scale = np.abs(ref).max(axis=-1, keepdims=True) + 1e-6
+    assert np.abs(got - ref).max(axis=-1, keepdims=True).max() < 2e-2 * scale.max()
+    # relative error per row stays small despite the 1e4 magnitude spread
+    rel = np.abs(got - ref) / scale
+    assert rel.max() < 2e-2, rel.max()
+
+
+def test_dense_int8_prequantized_matches():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(8, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(64, 32).astype(np.float32))
+    a = dense_int8(x, w, None, jnp.float32)
+    b = dense_int8(x, w, None, jnp.float32, wq=quantize_weights(w))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _tiny_neck_io(int8):
+    neck = VGGRoINeck(hidden_dim=128, int8_eval=int8,
+                      compute_dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(6, 7, 7, 8).astype(np.float32))
+    params = neck.init(jax.random.PRNGKey(0), x)
+    return neck, params, x
+
+
+def test_neck_param_tree_identical_across_paths():
+    _, p8, _ = _tiny_neck_io(True)
+    _, pf, _ = _tiny_neck_io(False)
+    t8 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), p8)
+    tf = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), pf)
+    assert t8 == tf
+
+
+def test_neck_int8_eval_close_and_train_exact():
+    neck8, params, x = _tiny_neck_io(True)
+    neckf = VGGRoINeck(hidden_dim=128, int8_eval=False,
+                       compute_dtype=jnp.float32)
+    # eval: close (quantization noise only)
+    y8 = np.asarray(neck8.apply(params, x, train=False))
+    yf = np.asarray(neckf.apply(params, x, train=False))
+    scale = np.abs(yf).max() + 1e-6
+    assert np.abs(y8 - yf).max() / scale < 5e-2
+    # train: the int8 gate must not fire — bit-identical to the bf16 path
+    key = jax.random.PRNGKey(7)
+    y8t = np.asarray(neck8.apply(params, x, train=True,
+                                 rngs={"dropout": key}))
+    yft = np.asarray(neckf.apply(params, x, train=True,
+                                 rngs={"dropout": key}))
+    np.testing.assert_array_equal(y8t, yft)

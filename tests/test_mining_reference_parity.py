@@ -17,6 +17,10 @@ parity-tested in test_reference_parity.py).
 import numpy as np
 import pytest
 
+# executed-reference parity tier: minutes of cpu-torch execution
+# (run with `pytest -m slow` — see pytest.ini)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

@@ -15,6 +15,9 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# golden eval-path import tests run ~minutes on cpu (pytest -m slow; see pytest.ini)
+pytestmark = pytest.mark.slow
+
 from odwscl_tpu.models import WSODDetector, Batch
 from odwscl_tpu.utils.weight_import import (import_vgg16_imagenet,
                                             import_reference_checkpoint,

@@ -89,6 +89,22 @@ class _WinoConv(nn.Module):
         return fn(x, kernel, bias, self.compute_dtype)
 
 
+class _ConvKB(nn.Module):
+    """nn.Conv-shaped (kernel, bias) params without applying them — the
+    fused stem kernel consumes them directly. Param tree matches nn.Conv
+    ({name}/{kernel,bias}), so checkpoints/importers are unaffected."""
+
+    features: int
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _KAIMING_OUT, self.kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class VGGBackbone(nn.Module):
     """Returns stride-8 (OICR variant) NHWC features [B, H/8, W/8, 512].
 
@@ -108,12 +124,24 @@ class VGGBackbone(nn.Module):
     stem_gemm: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fast_eval: bool = False) -> jnp.ndarray:
         x = x.astype(self.compute_dtype)
         conv_idx = 0
         spec = VGG_CFGS[self.arch]
         num_convs = sum(1 for v in spec if v not in ("M", "I"))
-        for v in spec:
+        # eval fast path: conv1_2 + ReLU + pool1 fuse into one Pallas
+        # kernel (ops/stem_fused.py) — the full-res 64-ch activations
+        # never hit HBM. Params are read through _ConvKB under the same
+        # "conv1" name, so trees/checkpoints are identical; the train
+        # path always uses the autodiff-able XLA conv below.
+        fuse_12 = (fast_eval and tuple(spec[:3]) == (64, 64, "M")
+                   and x.shape[1] % 32 == 0 and x.shape[2] % 2 == 0
+                   and x.shape[2] <= 2048)
+        skip_next = 0
+        for si, v in enumerate(spec):
+            if skip_next:
+                skip_next -= 1
+                continue
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             elif v == "I":
@@ -125,6 +153,13 @@ class VGGBackbone(nn.Module):
                     ch, dilation, pad = int(v), 1, 1
                 wino = (self.conv_impl == "winograd"
                         and min(ch, x.shape[-1]) >= self.wino_min_ch)
+                if conv_idx == 1 and fuse_12:
+                    from odwscl_tpu.ops.stem_fused import conv12_pool_fused
+                    k, b = _ConvKB(64, (3, 3, 64, 64), name="conv1")()
+                    x = conv12_pool_fused(x, k, b)   # conv1_2+relu+pool1
+                    conv_idx += 1
+                    skip_next = 1                    # the "M" after it
+                    continue
                 if conv_idx == 0 and self.stem_gemm:
                     # RGB stem: shifted-stack GEMM (same params as nn.Conv)
                     x = _ShiftedInputConv(ch, self.compute_dtype,

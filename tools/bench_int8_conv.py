@@ -43,12 +43,13 @@ def main():
     dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                         ("NHWC", "HWIO", "NHWC"))
     cases = [
-        # (tag, B, H, W, Cin, Cout, dilation)
-        ("conv1_2  64->64 @832x1344", 8, 832, 1344, 64, 64, 1),
-        ("conv2_2 128->128 @416x672", 8, 416, 672, 128, 128, 1),
-        ("conv3_2 256->256 @208x336", 8, 208, 336, 256, 256, 1),
+        # (tag, B, H, W, Cin, Cout, dilation) — smallest first: int8 conv
+        # compiles can hang at large shapes; learn feasibility cheaply
         ("conv4_2 512->512 @104x168", 8, 104, 168, 512, 512, 1),
         ("conv5_2 512->512 d2 @104x168", 8, 104, 168, 512, 512, 2),
+        ("conv3_2 256->256 @208x336", 8, 208, 336, 256, 256, 1),
+        ("conv2_2 128->128 @416x672", 8, 416, 672, 128, 128, 1),
+        ("conv1_2  64->64 @832x1344", 8, 832, 1344, 64, 64, 1),
     ]
     rng = np.random.RandomState(0)
     for tag, b, h, w, ci, co, d in cases:
@@ -70,14 +71,15 @@ def main():
                 dimension_numbers=dnn, preferred_element_type=jnp.float32)
 
         flops = 2 * 9 * ci * co * b * h * w
+        tb = chain(conv_bf, (xb, kb))
+        print(f"{tag:30s} bf16 {tb*1e3:7.2f} ms ({flops/tb/1e12:6.1f} TF/s)",
+              flush=True)
         try:
             t8 = chain(conv_i8, (x8, k8))
             r8 = f"{t8*1e3:7.2f} ms ({flops/t8/1e12:6.1f} TOP/s)"
         except Exception as e:  # pragma: no cover
             r8 = f"FAILED: {type(e).__name__}: {str(e)[:80]}"
-        tb = chain(conv_bf, (xb, kb))
-        print(f"{tag:30s} bf16 {tb*1e3:7.2f} ms ({flops/tb/1e12:6.1f} TF/s)"
-              f"  int8 {r8}")
+        print(f"{tag:30s} int8 {r8}", flush=True)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ Round-1 baseline: ~1530 ms/step at this shape (XLA RoIPool VJP ~1050 ms).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -61,13 +62,21 @@ def main():
     st, acc = chain(state, batch)
     float(acc)
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({
+    rec = {
         "metric": "voc_train_step_ms",
         "value": round(dt * 1e3, 1),
         "unit": "ms/step (batch 8, 704x1152, P=2048)",
         "vs_round1": round(1530.0 / (dt * 1e3), 2),
         "compile_s": round(compile_s, 1),
-    }))
+    }
+    print(json.dumps(rec))
+    # committed per-round artifact so train-step regressions are visible
+    # to the round process (VERDICT r2 next #2), alongside BENCH_r*.json
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_TRAIN.json")
+    with open(out, "w") as f:
+        json.dump(rec, f)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -16,6 +16,21 @@ Pallas kernels for RoI pooling, `jax.sharding` data parallelism over an ICI mesh
 
 __version__ = "0.1.0"
 
+# Platform override for CLI drives (e.g. ODWSCL_PLATFORM=cpu to smoke the
+# CLIs off-TPU). Env JAX_PLATFORMS alone cannot do this here: the TPU
+# plugin's sitecustomize registers itself via jax.config.update at
+# interpreter start, which outranks the env var — only another
+# config.update (before first backend init) switches back.
+import os as _os
+
+if _os.environ.get("ODWSCL_PLATFORM"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["ODWSCL_PLATFORM"])
+    except Exception:  # pragma: no cover - best-effort
+        pass
+
 # Persistent XLA compilation cache: the framework's graphs (train step with
 # mining, per-scale eval forwards) are expensive to compile; caching makes
 # repeated CLI runs / tests start in seconds. Opt out: ODWSCL_NO_JAX_CACHE=1.

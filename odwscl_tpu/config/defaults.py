@@ -186,6 +186,18 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # against the bf16 eval path in tests/test_int8_eval.py.
 _C.TPU.INT8_EVAL = False
 
+# Fused Pallas conv1_2+ReLU+pool1 on the eval path (ops/stem_fused.py);
+# exact conv semantics up to f32-accumulation order, validated vs the XLA
+# convs in tests/test_stem_fused.py + tools/bench_stem.py. Train always
+# uses XLA convs (autodiff).
+_C.TPU.FUSED_STEM = True
+
+# Proposals kept after NMS by the CAM-attention proposal generator
+# (MODEL.FASTER_RCNN=True path, models/cam_proposals.py; the reference's
+# hacked RPN keeps 2000, rpn.py:186 — 512 is the static-shape default
+# sized to the proposal buckets).
+_C.TPU.RPN_POST_NMS = 512
+
 # ---------------------------------------------------------------------------
 # Misc (reference top-level)
 # ---------------------------------------------------------------------------

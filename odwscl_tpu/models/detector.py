@@ -103,6 +103,12 @@ class WSODDetector(nn.Module):
     gt_cap: int = 128
     compute_dtype: str = "bfloat16"
     int8_eval: bool = False           # TPU.INT8_EVAL: quantized serving path
+    fused_stem: bool = True           # TPU.FUSED_STEM: Pallas conv1_2+pool1
+    neck_dropout: float = 0.5         # fc6/fc7 dropout (vgg16.py classifier)
+    # FASTER_RCNN=True: CAM-attention proposal generation instead of
+    # precomputed rois (rpn.py:154-190 + cam.py; see models/cam_proposals)
+    faster_rcnn: bool = False
+    rpn_post_nms: int = 512           # TPU.RPN_POST_NMS (ref: 2000)
 
     def setup(self):
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -111,7 +117,8 @@ class WSODDetector(nn.Module):
             self.backbone = VGGBackbone(arch=self.backbone_arch,
                                         compute_dtype=dtype)
             self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype,
-                                   int8_eval=self.int8_eval)
+                                   int8_eval=self.int8_eval,
+                                   dropout_rate=self.neck_dropout)
         elif self.backbone_arch.startswith("R-"):
             from .resnet import ResNetBackbone, ResNetRoINeck
             depth = "-".join(self.backbone_arch.split("-")[:2])
@@ -122,6 +129,10 @@ class WSODDetector(nn.Module):
                                       compute_dtype=dtype)
         else:
             raise ValueError(f"Unknown backbone {self.backbone_arch}")
+        if self.faster_rcnn:
+            from .cam import CAMModule
+            self.cam = CAMModule(num_classes=self.num_classes,
+                                 compute_dtype=dtype)
         self.sim_net = SimNet(compute_dtype=dtype)
         pred_cls = PREDICTORS[self.predictor]
         kwargs = dict(num_classes=self.num_classes, compute_dtype=dtype)
@@ -193,7 +204,11 @@ class WSODDetector(nn.Module):
         (weak_head.py:124-145). For AVG, boxes are the decoded per-class
         regressed boxes [B,P,4C] clipped to the image; otherwise the raw
         proposals [B,P,4]."""
-        feats = self.backbone(batch.images)
+        if (self.fused_stem and self.backbone_arch.startswith("VGG16")
+                and _on_tpu()):
+            feats = self.backbone(batch.images, fast_eval=True)
+        else:
+            feats = self.backbone(batch.images)
         pooled = self.pool(feats, batch.boxes, batch.box_mask)
         b, p = pooled.shape[:2]
         clean = self._neck_flat(pooled.reshape(b * p, *pooled.shape[2:]),
@@ -260,6 +275,17 @@ class WSODDetector(nn.Module):
                 self.make_rng("augment"), boxes, mask, plab,
                 self.roi_batch_size, self.roi_pos_fraction)
         feats = self.backbone(batch.images)
+        cam_loss = None
+        if self.faster_rcnn:
+            # CAM-attention proposals (rpn.py:154-190); image-level CAM BCE
+            # trains the attention (cam.py:6-47)
+            from .cam_proposals import cam_to_proposals
+            cam_maps, cam_loss = self.cam(feats, labels)
+            atten = cam_maps.astype(jnp.float32).mean(axis=-1)
+            boxes, mask, _ = cam_to_proposals(
+                atten, batch.image_sizes, int(round(1 / self.pooler_scale)),
+                out_p=self.rpn_post_nms)
+            boxes = jax.lax.stop_gradient(boxes)
         pooled = self.pool(feats, boxes, mask, need_grad=True)  # [B,P,r,r,C]
         b, p = pooled.shape[:2]
         flat_pooled = pooled.reshape(b * p, *pooled.shape[2:])
@@ -283,6 +309,8 @@ class WSODDetector(nn.Module):
 
         losses: Dict[str, jnp.ndarray] = {}
         metrics: Dict[str, jnp.ndarray] = {}
+        if cam_loss is not None:
+            losses["loss_cam"] = cam_loss
         losses["loss_img"] = mil_loss(final, labels)
         img_score = jnp.clip(final.sum(axis=1), 1e-8, 1 - 1e-8)
         metrics["acc_img"] = avg_image_accuracy(jnp.clip(labels, 0, 1),
@@ -412,4 +440,7 @@ def detector_from_cfg(cfg) -> WSODDetector:
         cap_b=max(cfg.TPU.BANK_CAPACITY // 4, 64),
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         int8_eval=cfg.TPU.INT8_EVAL,
+        fused_stem=cfg.TPU.FUSED_STEM,
+        faster_rcnn=cfg.MODEL.FASTER_RCNN,
+        rpn_post_nms=cfg.TPU.RPN_POST_NMS,
     )

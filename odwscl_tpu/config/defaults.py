@@ -186,11 +186,20 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # against the bf16 eval path in tests/test_int8_eval.py.
 _C.TPU.INT8_EVAL = False
 
+# int8 dynamic-quantized backbone convs on the eval path (conv2_1 onward;
+# ops/quant.py conv2d_int8 — per-Cout weight scales, per-tensor activation
+# scale, int32 MXU accumulation at 2x the bf16 rate). Separate switch from
+# INT8_EVAL: conv quantization error compounds through the stack, so its
+# accuracy impact is validated separately (tests/test_int8_eval.py).
+_C.TPU.INT8_EVAL_CONVS = False
+
 # Fused Pallas conv1_2+ReLU+pool1 on the eval path (ops/stem_fused.py);
 # exact conv semantics up to f32-accumulation order, validated vs the XLA
 # convs in tests/test_stem_fused.py + tools/bench_stem.py. Train always
-# uses XLA convs (autodiff).
-_C.TPU.FUSED_STEM = True
+# uses XLA convs (autodiff). Default off until the kernel's Mosaic
+# compile + timing are validated on hardware (bench_stem.py) — interpret
+# mode alone does not prove the hardware path.
+_C.TPU.FUSED_STEM = False
 
 # Proposals kept after NMS by the CAM-attention proposal generator
 # (MODEL.FASTER_RCNN=True path, models/cam_proposals.py; the reference's

@@ -123,7 +123,7 @@ def do_train(model: WSODDetector, state: TrainState, tx, schedule,
 
         if log_period and (it % log_period == 0 or it == start_iter + 1
                            or it == max_iter):
-            lr = float(schedule(it - 1))
+            lr = float(schedule(it))  # update k reads epoch k+1 (solver)
             eta = (time.time() - start) / max(it - start_iter, 1) * (max_iter - it)
             msg = f"iter: {it}  lr: {lr:.6f}  eta: {eta/60:.1f}m"
             if meters is not None:

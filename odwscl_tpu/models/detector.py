@@ -103,7 +103,8 @@ class WSODDetector(nn.Module):
     gt_cap: int = 128
     compute_dtype: str = "bfloat16"
     int8_eval: bool = False           # TPU.INT8_EVAL: quantized serving path
-    fused_stem: bool = True           # TPU.FUSED_STEM: Pallas conv1_2+pool1
+    fused_stem: bool = False          # TPU.FUSED_STEM: Pallas conv1_2+pool1
+    int8_eval_convs: bool = False     # TPU.INT8_EVAL_CONVS: int8 conv stack
     neck_dropout: float = 0.5         # fc6/fc7 dropout (vgg16.py classifier)
     # FASTER_RCNN=True: CAM-attention proposal generation instead of
     # precomputed rois (rpn.py:154-190 + cam.py; see models/cam_proposals)
@@ -115,7 +116,10 @@ class WSODDetector(nn.Module):
         self._dtype = dtype
         if self.backbone_arch.startswith("VGG16"):
             self.backbone = VGGBackbone(arch=self.backbone_arch,
-                                        compute_dtype=dtype)
+                                        compute_dtype=dtype,
+                                        fused_stem=(self.fused_stem
+                                                    and _on_tpu()),
+                                        int8_eval=self.int8_eval_convs)
             self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype,
                                    int8_eval=self.int8_eval,
                                    dropout_rate=self.neck_dropout)
@@ -204,11 +208,10 @@ class WSODDetector(nn.Module):
         (weak_head.py:124-145). For AVG, boxes are the decoded per-class
         regressed boxes [B,P,4C] clipped to the image; otherwise the raw
         proposals [B,P,4]."""
-        if (self.fused_stem and self.backbone_arch.startswith("VGG16")
-                and _on_tpu()):
-            feats = self.backbone(batch.images, fast_eval=True)
-        else:
-            feats = self.backbone(batch.images)
+        use_fast = (self.backbone_arch.startswith("VGG16")
+                    and ((self.fused_stem and _on_tpu())
+                         or self.int8_eval_convs))
+        feats = self.backbone(batch.images, fast_eval=use_fast)
         pooled = self.pool(feats, batch.boxes, batch.box_mask)
         b, p = pooled.shape[:2]
         clean = self._neck_flat(pooled.reshape(b * p, *pooled.shape[2:]),
@@ -440,6 +443,7 @@ def detector_from_cfg(cfg) -> WSODDetector:
         cap_b=max(cfg.TPU.BANK_CAPACITY // 4, 64),
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         int8_eval=cfg.TPU.INT8_EVAL,
+        int8_eval_convs=cfg.TPU.INT8_EVAL_CONVS,
         fused_stem=cfg.TPU.FUSED_STEM,
         faster_rcnn=cfg.MODEL.FASTER_RCNN,
         rpn_post_nms=cfg.TPU.RPN_POST_NMS,

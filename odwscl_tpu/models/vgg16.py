@@ -122,6 +122,15 @@ class VGGBackbone(nn.Module):
     # the bench shape (the [B,H,W,27] stack is HBM-bound); measured
     # tools/bench_backbone.py r3: 78.3 vs 59.0 ms/batch
     stem_gemm: bool = False
+    # int8 dynamic-quantized convs on the eval path (TPU.INT8_EVAL_CONVS):
+    # per-Cout weight scales + per-tensor activation scale, int32 MXU
+    # accumulation at 2x the bf16 rate (ops/quant.py conv2d_int8). Applied
+    # from conv2_1 on (the RGB stem stays bf16 — C_in=3 is layout-bound,
+    # not MXU-bound). Eval-only: train always runs bf16.
+    int8_eval: bool = False
+    # fused Pallas conv1_2+ReLU+pool1 on the eval path (ops/stem_fused.py);
+    # TPU-only (the detector passes fused_stem and _on_tpu())
+    fused_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, fast_eval: bool = False) -> jnp.ndarray:
@@ -134,7 +143,8 @@ class VGGBackbone(nn.Module):
         # never hit HBM. Params are read through _ConvKB under the same
         # "conv1" name, so trees/checkpoints are identical; the train
         # path always uses the autodiff-able XLA conv below.
-        fuse_12 = (fast_eval and tuple(spec[:3]) == (64, 64, "M")
+        fuse_12 = (fast_eval and self.fused_stem
+                   and tuple(spec[:3]) == (64, 64, "M")
                    and x.shape[1] % 32 == 0 and x.shape[2] % 2 == 0
                    and x.shape[2] <= 2048)
         skip_next = 0
@@ -160,7 +170,13 @@ class VGGBackbone(nn.Module):
                     conv_idx += 1
                     skip_next = 1                    # the "M" after it
                     continue
-                if conv_idx == 0 and self.stem_gemm:
+                if fast_eval and self.int8_eval and conv_idx >= 2:
+                    from odwscl_tpu.ops.quant import conv2d_int8
+                    k, b = _ConvKB(ch, (3, 3, x.shape[-1], ch),
+                                   name=f"conv{conv_idx}")()
+                    x = conv2d_int8(x, k, b, dilation=dilation, padding=pad,
+                                    out_dtype=self.compute_dtype)
+                elif conv_idx == 0 and self.stem_gemm:
                     # RGB stem: shifted-stack GEMM (same params as nn.Conv)
                     x = _ShiftedInputConv(ch, self.compute_dtype,
                                           name=f"conv{conv_idx}")(x)

@@ -36,6 +36,37 @@ def quantize_weights(kernel: jnp.ndarray):
     return q, s
 
 
+def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
+                bias: jnp.ndarray | None = None,
+                dilation: int = 1, padding: int = 1,
+                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """3x3 SAME-ish conv with int8 MXU math (eval/serving only).
+
+    x [B,H,W,Cin] float; kernel [kh,kw,Cin,Cout] f32. Weights are
+    per-output-channel symmetric int8; activations per-tensor symmetric
+    (dynamic). Accumulates int32 on the MXU (2x the bf16 rate),
+    dequantizes to f32, adds bias. No ReLU fused — caller applies it.
+    """
+    import jax as _jax
+
+    ks = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0      # [Cout]
+    ks = jnp.maximum(ks, 1e-12)
+    kq = jnp.clip(jnp.round(kernel / ks), -127, 127).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0      # scalar
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    dn = _jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                         ("NHWC", "HWIO", "NHWC"))
+    acc = _jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), [(padding, padding), (padding, padding)],
+        rhs_dilation=(dilation, dilation), dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (xs * ks)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def dense_int8(x: jnp.ndarray, kernel: jnp.ndarray,
                bias: jnp.ndarray | None, out_dtype=jnp.bfloat16,
                wq=None) -> jnp.ndarray:

@@ -64,11 +64,19 @@ def sgd_with_momentum_correction(schedule: Callable, momentum: float,
 
     def update(grads, state, params):
         count = state.count
-        lr = schedule(count)
-        lr_prev = schedule(jnp.maximum(count - 1, 0))
+        # phase: the reference calls scheduler.step() at the TOP of each
+        # iteration (trainer.py:87-91), so its k-th update runs at
+        # WarmupMultiStepLR epoch k+1 — the k-th optax update must read
+        # schedule(k+1), and the momentum-correction pair is
+        # (cur=schedule(k), new=schedule(k+1)). Verified by lockstep
+        # trajectory parity (tests/test_trainer_parity.py).
+        lr = schedule(count + 1)
+        lr_prev = schedule(count)
         ratio = jnp.maximum(lr / jnp.maximum(lr_prev, 1e-10),
                             lr_prev / jnp.maximum(lr, 1e-10))
-        apply_corr = (ratio > correction_threshold) & (count > 0) & (lr_prev > 1e-7)
+        # at count 0 the correction is a no-op either way (torch skips the
+        # not-yet-created momentum buffers; our trace is zeros)
+        apply_corr = (ratio > correction_threshold) & (lr_prev > 1e-7)
         corr = jnp.where(apply_corr, lr / jnp.maximum(lr_prev, 1e-10), 1.0)
 
         def one(g, t, p):

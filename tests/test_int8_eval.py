@@ -87,3 +87,54 @@ def test_neck_int8_eval_close_and_train_exact():
     yft = np.asarray(neckf.apply(params, x, train=True,
                                  rngs={"dropout": key}))
     np.testing.assert_array_equal(y8t, yft)
+
+
+# ---------------------------------------------------------------------------
+# int8 conv stack (TPU.INT8_EVAL_CONVS, ops/quant.py conv2d_int8)
+# ---------------------------------------------------------------------------
+
+def test_conv2d_int8_close_to_f32():
+    from odwscl_tpu.ops.quant import conv2d_int8
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(np.maximum(rng.randn(2, 12, 14, 16), 0)
+                    .astype(np.float32))           # post-ReLU activations
+    w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+    for dil, pad in [(1, 1), (2, 2)]:
+        got = np.asarray(conv2d_int8(x, w, b, dilation=dil, padding=pad,
+                                     out_dtype=jnp.float32))
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        ref = np.asarray(jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(pad, pad), (pad, pad)],
+            rhs_dilation=(dil, dil), dimension_numbers=dn)
+            + b[None, None, None])
+        scale = np.abs(ref).max() + 1e-6
+        assert np.abs(got - ref).max() / scale < 3e-2, (dil, pad)
+
+
+def test_backbone_int8_param_tree_and_train_path():
+    """int8 conv path: same param tree as the bf16 backbone; fast_eval=False
+    (train) is bit-identical to the plain backbone."""
+    from odwscl_tpu.models.vgg16 import VGGBackbone
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    b8 = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.float32,
+                     int8_eval=True)
+    bf = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.float32)
+    p8 = jax.jit(b8.init)(jax.random.PRNGKey(0), x)
+    pf = jax.jit(bf.init)(jax.random.PRNGKey(0), x)
+    t8 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), p8)
+    tf = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), pf)
+    assert t8 == tf
+    y_train = np.asarray(jax.jit(b8.apply)(p8, x))
+    y_plain = np.asarray(jax.jit(bf.apply)(p8, x))
+    np.testing.assert_array_equal(y_train, y_plain)
+    # eval fast path runs and stays close (quantization noise compounds
+    # through 11 int8 convs; bound is loose but catches wiring errors)
+    y8 = np.asarray(jax.jit(lambda p, x: b8.apply(p, x, fast_eval=True))(p8, x))
+    scale = np.abs(y_plain).max() + 1e-6
+    assert y8.shape == y_plain.shape
+    assert np.abs(y8 - y_plain).max() / scale < 0.25

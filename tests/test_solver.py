@@ -40,7 +40,10 @@ def test_sgd_matches_torch_semantics():
 
 
 def test_momentum_correction_on_lr_drop():
-    # lr drops 10x at count 2 -> buffers scaled by 0.1 before the update
+    # Reference phase (trainer.py:87-91 steps the scheduler BEFORE the
+    # update): the k-th update runs at schedule epoch k+1, so a drop at
+    # epoch 2 hits optax update count 1, with the momentum buffer scaled
+    # by new/cur = 0.1 first. Lockstep-verified in test_trainer_parity.
     def sched(c):
         return jnp.where(jnp.asarray(c) >= 2, 0.01, 0.1)
 
@@ -48,10 +51,13 @@ def test_momentum_correction_on_lr_drop():
     p = {"w": jnp.array([0.0])}
     state = tx.init(p)
     g = {"w": jnp.array([1.0])}
-    _, state = tx.update(g, state, p)   # count 0: buf = 1
-    _, state = tx.update(g, state, p)   # count 1: buf = 1.9
-    up, state = tx.update(g, state, p)  # count 2: corr .1 -> buf = .9*.19+1
-    want_buf = 0.9 * (1.9 * 0.1) + 1.0
+    up, state = tx.update(g, state, p)  # count 0: epoch 1, lr .1, buf = 1
+    np.testing.assert_allclose(float(up["w"][0]), -0.1 * 1.0, rtol=1e-6)
+    up, state = tx.update(g, state, p)  # count 1: epoch 2, corr 0.1 applies
+    want_buf = 0.9 * (1.0 * 0.1) + 1.0
+    np.testing.assert_allclose(float(up["w"][0]), -0.01 * want_buf, rtol=1e-5)
+    up, state = tx.update(g, state, p)  # count 2: epoch 3, steady at .01
+    want_buf = 0.9 * want_buf + 1.0
     np.testing.assert_allclose(float(up["w"][0]), -0.01 * want_buf, rtol=1e-5)
 
 

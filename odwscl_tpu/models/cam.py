@@ -10,34 +10,43 @@ hacked RPN, modeling/rpn/rpn.py:184-190). Instantiated only when `use_cam`
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.losses import binary_cross_entropy
-
-_KAIMING_OUT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
-
-
 class CAMModule(nn.Module):
-    num_classes: int = 21  # incl. background column (ignored in the loss)
+    num_classes: int = 21  # incl. background column
+
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, labels_img=None):
-        """features [B, H, W, C] -> (cam_maps [B, H, W, C_cls], loss or None).
+        """features [B, H, W, C] -> (atten_logits [B, H, W, C_cls], loss).
 
-        labels_img: [B, C_cls] multi-hot with col 0 = background (unused).
+        Matches Compute_Cam_Loss (cam.py:20-47): the image-level logits are
+        GAP(features) @ W + b trained with BCE-with-logits over ALL class
+        columns (col 0 forced to 0 by generate_img_label, utils.py:53-57);
+        the returned attention logits are the SAME weights applied as a
+        1x1 conv WITHOUT bias (cam.py:38, conv2d(..., bias=None)). Weight
+        init N(0, 0.01), bias 0 (cam.py:14-18).
+
+        labels_img: [B, C_cls] multi-hot; col 0 is zeroed internally.
         """
-        cam = nn.Conv(self.num_classes, (1, 1), dtype=self.compute_dtype,
-                      param_dtype=jnp.float32, kernel_init=_KAIMING_OUT,
-                      name="cam_conv")(features.astype(self.compute_dtype))
-        logits = jnp.mean(cam.astype(jnp.float32), axis=(1, 2))  # GAP
+        kernel = self.param("cam_conv_kernel", nn.initializers.normal(0.01),
+                            (features.shape[-1], self.num_classes),
+                            jnp.float32)
+        bias = self.param("cam_conv_bias", nn.initializers.zeros,
+                          (self.num_classes,), jnp.float32)
+        k = kernel.astype(self.compute_dtype)
+        atten = features.astype(self.compute_dtype) @ k    # 1x1 conv, no bias
         if labels_img is None:
-            return cam, None
-        probs = jax.nn.sigmoid(logits[:, 1:])
-        loss = binary_cross_entropy(probs, jnp.clip(labels_img[:, 1:], 0, 1))
-        return cam, loss.mean()
+            return atten, None
+        gap = jnp.mean(features.astype(jnp.float32), axis=(1, 2))  # [B, C]
+        logits = gap @ kernel + bias
+        tgt = jnp.clip(labels_img, 0, 1).at[:, 0].set(0.0)
+        # BCE with logits (stable): max(x,0) - x*t + log1p(exp(-|x|))
+        bce = (jnp.maximum(logits, 0) - logits * tgt
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        return atten, bce.mean()
 
 
 def cam_proposals(cam: jnp.ndarray, labels_img: jnp.ndarray,

@@ -191,6 +191,8 @@ class WSODDetector(nn.Module):
         parameter trees are created in seconds instead of compiling the full
         train step. Only needs the 'params' rng."""
         feats = self.backbone(batch.images)
+        if self.faster_rcnn:
+            _ = self.cam(feats, batch.labels)
         pooled = self.pool(feats, batch.boxes, batch.box_mask)
         b, p = pooled.shape[:2]
         flat = pooled.reshape(b * p, *pooled.shape[2:])
@@ -284,7 +286,9 @@ class WSODDetector(nn.Module):
             # trains the attention (cam.py:6-47)
             from .cam_proposals import cam_to_proposals
             cam_maps, cam_loss = self.cam(feats, labels)
-            atten = cam_maps.astype(jnp.float32).mean(axis=-1)
+            # mean attention logit over FG classes (rpn.py:188 pools
+            # atten_logits[:,1:].mean(1))
+            atten = cam_maps.astype(jnp.float32)[..., 1:].mean(axis=-1)
             boxes, mask, _ = cam_to_proposals(
                 atten, batch.image_sizes, int(round(1 / self.pooler_scale)),
                 out_p=self.rpn_post_nms)

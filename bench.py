@@ -16,6 +16,7 @@ bf16 peak => ~135 img/s/GPU single-forward. vs_baseline = value / 135.
 """
 
 import json
+import os
 
 import time
 
@@ -30,6 +31,8 @@ def main():
     from odwscl_tpu.models import WSODDetector, Batch
 
     b, hw_h, hw_w, p, c = 8, 832, 1344, 2048, 21
+    b = int(os.environ.get("ODWSCL_BENCH_BATCH", b))
+    int8 = os.environ.get("ODWSCL_BENCH_INT8", "") == "1"
     rng = np.random.RandomState(0)
     images = jnp.array(rng.randn(b, hw_h, hw_w, 3).astype(np.float32))
     sizes = jnp.tile(jnp.array([[800.0, 1333.0]]), (b, 1))
@@ -41,7 +44,11 @@ def main():
     batch = Batch(images, sizes, boxes, mask,
                   jnp.zeros((b, c), jnp.float32))
 
-    model = WSODDetector()
+    # opt-in comparison modes (default = the shipped bf16 direct path):
+    # ODWSCL_BENCH_WINO=1 fused Winograd convs, ODWSCL_BENCH_INT8=1 int8
+    wino = os.environ.get("ODWSCL_BENCH_WINO", "0") == "1"
+    model = WSODDetector(int8_eval=int8, int8_eval_convs=int8,
+                         wino_eval=wino)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "augment": jax.random.PRNGKey(2)}, batch, train=True)

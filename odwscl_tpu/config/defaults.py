@@ -193,13 +193,14 @@ _C.TPU.INT8_EVAL = False
 # accuracy impact is validated separately (tests/test_int8_eval.py).
 _C.TPU.INT8_EVAL_CONVS = False
 
-# Fused Pallas conv1_2+ReLU+pool1 on the eval path (ops/stem_fused.py);
-# exact conv semantics up to f32-accumulation order, validated vs the XLA
-# convs in tests/test_stem_fused.py + tools/bench_stem.py. Train always
-# uses XLA convs (autodiff). Default off until the kernel's Mosaic
-# compile + timing are validated on hardware (bench_stem.py) — interpret
-# mode alone does not prove the hardware path.
-_C.TPU.FUSED_STEM = False
+# Fused Pallas Winograd F(4,3) convs on the eval path
+# (ops/winograd_pallas.py): 4x fewer MXU FLOPs on every stride-1 3x3 conv
+# with Cin/Cout % 128 == 0. Same precision contract as bf16 conv +- the
+# F(4,3) transform (bounded in tests/test_winograd.py); the reference's
+# cuDNN picks Winograd for these layers on its own — this is the explicit
+# TPU counterpart. Default OFF until the fused kernel beats direct conv
+# on hardware (tools/bench_wino.py tracks it).
+_C.TPU.WINO_EVAL = False
 
 # Proposals kept after NMS by the CAM-attention proposal generator
 # (MODEL.FASTER_RCNN=True path, models/cam_proposals.py; the reference's

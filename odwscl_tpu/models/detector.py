@@ -41,6 +41,12 @@ def _on_tpu() -> bool:
         return False
 
 
+def _interp() -> bool:
+    """Pallas interpret-mode tests run the TPU-only kernels on CPU."""
+    import os
+    return os.environ.get("ODWSCL_PALLAS_INTERPRET") == "1"
+
+
 @struct.dataclass
 class Batch:
     """One padded training/eval batch (replaces ImageList + BoxList lists)."""
@@ -103,8 +109,8 @@ class WSODDetector(nn.Module):
     gt_cap: int = 128
     compute_dtype: str = "bfloat16"
     int8_eval: bool = False           # TPU.INT8_EVAL: quantized serving path
-    fused_stem: bool = False          # TPU.FUSED_STEM: Pallas conv1_2+pool1
     int8_eval_convs: bool = False     # TPU.INT8_EVAL_CONVS: int8 conv stack
+    wino_eval: bool = False           # TPU.WINO_EVAL: fused Pallas Winograd
     neck_dropout: float = 0.5         # fc6/fc7 dropout (vgg16.py classifier)
     # FASTER_RCNN=True: CAM-attention proposal generation instead of
     # precomputed rois (rpn.py:154-190 + cam.py; see models/cam_proposals)
@@ -117,9 +123,8 @@ class WSODDetector(nn.Module):
         if self.backbone_arch.startswith("VGG16"):
             self.backbone = VGGBackbone(arch=self.backbone_arch,
                                         compute_dtype=dtype,
-                                        fused_stem=(self.fused_stem
-                                                    and _on_tpu()),
-                                        int8_eval=self.int8_eval_convs)
+                                        int8_eval=self.int8_eval_convs,
+                                        wino_eval=self.wino_eval)
             self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype,
                                    int8_eval=self.int8_eval,
                                    dropout_rate=self.neck_dropout)
@@ -211,8 +216,8 @@ class WSODDetector(nn.Module):
         regressed boxes [B,P,4C] clipped to the image; otherwise the raw
         proposals [B,P,4]."""
         use_fast = (self.backbone_arch.startswith("VGG16")
-                    and ((self.fused_stem and _on_tpu())
-                         or self.int8_eval_convs))
+                    and (self.int8_eval_convs
+                         or (self.wino_eval and (_on_tpu() or _interp()))))
         feats = self.backbone(batch.images, fast_eval=use_fast)
         pooled = self.pool(feats, batch.boxes, batch.box_mask)
         b, p = pooled.shape[:2]
@@ -448,7 +453,7 @@ def detector_from_cfg(cfg) -> WSODDetector:
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         int8_eval=cfg.TPU.INT8_EVAL,
         int8_eval_convs=cfg.TPU.INT8_EVAL_CONVS,
-        fused_stem=cfg.TPU.FUSED_STEM,
+        wino_eval=cfg.TPU.WINO_EVAL,
         faster_rcnn=cfg.MODEL.FASTER_RCNN,
         rpn_post_nms=cfg.TPU.RPN_POST_NMS,
     )

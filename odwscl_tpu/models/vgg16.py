@@ -91,7 +91,7 @@ class _WinoConv(nn.Module):
 
 class _ConvKB(nn.Module):
     """nn.Conv-shaped (kernel, bias) params without applying them — the
-    fused stem kernel consumes them directly. Param tree matches nn.Conv
+    int8 eval conv path consumes them directly. Param tree matches nn.Conv
     ({name}/{kernel,bias}), so checkpoints/importers are unaffected."""
 
     features: int
@@ -128,9 +128,13 @@ class VGGBackbone(nn.Module):
     # from conv2_1 on (the RGB stem stays bf16 — C_in=3 is layout-bound,
     # not MXU-bound). Eval-only: train always runs bf16.
     int8_eval: bool = False
-    # fused Pallas conv1_2+ReLU+pool1 on the eval path (ops/stem_fused.py);
-    # TPU-only (the detector passes fused_stem and _on_tpu())
-    fused_stem: bool = False
+    # fused Pallas Winograd F(4,3) convs on the eval path
+    # (TPU.WINO_EVAL, ops/winograd_pallas.py): 4x fewer MXU FLOPs for
+    # every stride-1 3x3 conv with Cin/Cout % 128 == 0 (conv2_2 on,
+    # incl. the dilated conv5 block). Same precision contract as the XLA
+    # winograd (tests/test_winograd.py); takes precedence over int8_eval
+    # on eligible layers. Eval-only: train always runs bf16 direct.
+    wino_eval: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, fast_eval: bool = False) -> jnp.ndarray:
@@ -138,20 +142,7 @@ class VGGBackbone(nn.Module):
         conv_idx = 0
         spec = VGG_CFGS[self.arch]
         num_convs = sum(1 for v in spec if v not in ("M", "I"))
-        # eval fast path: conv1_2 + ReLU + pool1 fuse into one Pallas
-        # kernel (ops/stem_fused.py) — the full-res 64-ch activations
-        # never hit HBM. Params are read through _ConvKB under the same
-        # "conv1" name, so trees/checkpoints are identical; the train
-        # path always uses the autodiff-able XLA conv below.
-        fuse_12 = (fast_eval and self.fused_stem
-                   and tuple(spec[:3]) == (64, 64, "M")
-                   and x.shape[1] % 32 == 0 and x.shape[2] % 2 == 0
-                   and x.shape[2] <= 2048)
-        skip_next = 0
         for si, v in enumerate(spec):
-            if skip_next:
-                skip_next -= 1
-                continue
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             elif v == "I":
@@ -163,12 +154,25 @@ class VGGBackbone(nn.Module):
                     ch, dilation, pad = int(v), 1, 1
                 wino = (self.conv_impl == "winograd"
                         and min(ch, x.shape[-1]) >= self.wino_min_ch)
-                if conv_idx == 1 and fuse_12:
-                    from odwscl_tpu.ops.stem_fused import conv12_pool_fused
-                    k, b = _ConvKB(64, (3, 3, 64, 64), name="conv1")()
-                    x = conv12_pool_fused(x, k, b)   # conv1_2+relu+pool1
+                wino_p = False
+                if fast_eval and self.wino_eval:
+                    from odwscl_tpu.ops.winograd_pallas import (
+                        winograd_pallas_feasible)
+                    hh = x.shape[1] // dilation
+                    ww = x.shape[2] // dilation
+                    wino_p = winograd_pallas_feasible(hh, ww, x.shape[-1],
+                                                      ch)
+                if wino_p:
+                    from odwscl_tpu.ops import winograd_pallas as wpal
+                    k, bb = _ConvKB(ch, (3, 3, x.shape[-1], ch),
+                                    name=f"conv{conv_idx}")()
+                    fn = (wpal.winograd_conv3x3_d2_pallas if dilation == 2
+                          else wpal.winograd_conv3x3_pallas)
+                    # fuse the inter-conv ReLU (the last conv has none)
+                    fused_relu = conv_idx + 1 < num_convs
+                    x = fn(x, k, bb, compute_dtype=self.compute_dtype,
+                           relu=fused_relu)
                     conv_idx += 1
-                    skip_next = 1                    # the "M" after it
                     continue
                 if fast_eval and self.int8_eval and conv_idx >= 2:
                     from odwscl_tpu.ops.quant import conv2d_int8

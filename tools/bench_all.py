@@ -6,10 +6,8 @@ next starts). Use on hardware:
 
     python -u tools/bench_all.py [--skip validate,stem,...]
 
-Steps: devices, validate (RoIPool bit-exactness), eval (bench.py), stem
-(fused stem timing + parity), train (bench_train.py -> BENCH_TRAIN.json),
-int8conv (int8 conv feasibility), int8eval (bench.py with the int8+fused
-serving flags for comparison).
+Steps: devices, validate (RoIPool bit-exactness), eval (bench.py), train
+(bench_train.py -> BENCH_TRAIN.json), int8conv (int8 conv feasibility).
 """
 
 import argparse
@@ -44,9 +42,6 @@ def main():
     if "eval" not in skip:
         import bench
         _step("bench_eval (bf16 defaults)", bench.main)
-    if "stem" not in skip:
-        from bench_stem import main as stem_main
-        _step("bench_stem", stem_main)
     if "train" not in skip:
         from bench_train import main as train_main
         _step("bench_train", train_main)

@@ -45,13 +45,21 @@ def main():
                   jnp.zeros((b, c), jnp.float32))
 
     # opt-in comparison modes (default = the shipped bf16 direct path):
-    # ODWSCL_BENCH_WINO=1 fused Winograd convs, ODWSCL_BENCH_INT8=1 int8
+    # ODWSCL_BENCH_WINO=1 fused Winograd convs, ODWSCL_BENCH_INT8=1 the
+    # int8 serving mode (static-calibrated conv scales, see vgg16.py)
     wino = os.environ.get("ODWSCL_BENCH_WINO", "0") == "1"
     model = WSODDetector(int8_eval=int8, int8_eval_convs=int8,
-                         wino_eval=wino)
+                         int8_static=int8, wino_eval=wino)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "augment": jax.random.PRNGKey(2)}, batch, train=True)
+    if int8:
+        # one calibration forward records activation scales (bf16 compute)
+        _, quant = jax.jit(
+            model.apply, static_argnames=("train", "calibrate", "mutable"))(
+            variables, batch, train=False, calibrate=True,
+            mutable=["quant"])
+        variables = {**variables, **quant}
 
     # timing protocol: ITERS forwards chained inside ONE jit, fetched as a
     # fused scalar. Per-dispatch tunnel latency on this platform is ~36 ms

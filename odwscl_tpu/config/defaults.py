@@ -193,6 +193,14 @@ _C.TPU.INT8_EVAL = False
 # accuracy impact is validated separately (tests/test_int8_eval.py).
 _C.TPU.INT8_EVAL_CONVS = False
 
+# Static-calibrated activation scales for the int8 conv stack: the
+# inference engine records per-layer abs-maxes on the first batch (a bf16
+# calibration forward), after which the per-batch abs-max passes (an extra
+# HBM sweep per conv AND a fusion barrier) disappear — the quantize folds
+# into the producing conv's epilogue. Standard post-training-quantization
+# serving; drift bounded in tests/test_int8_eval.py.
+_C.TPU.INT8_STATIC = False
+
 # Fused Pallas Winograd F(4,3) convs on the eval path
 # (ops/winograd_pallas.py): 4x fewer MXU FLOPs on every stride-1 3x3 conv
 # with Cin/Cout % 128 == 0. Same precision contract as bf16 conv +- the

@@ -157,8 +157,20 @@ class Inferencer:
             tuple(cfg.TPU.PROPOSAL_BUCKETS))
         self._fwd = jax.jit(
             lambda v, b: self.model.apply(v, b, train=False))
+        # static-calibrated int8 serving (TPU.INT8_STATIC): record per-layer
+        # activation scales on the first forwarded batch, then every eval
+        # forward reads them (vgg16.py int8_static)
+        self._needs_calib = bool(cfg.TPU.INT8_STATIC
+                                 and cfg.TPU.INT8_EVAL_CONVS
+                                 and "quant" not in variables)
+        self._calib = jax.jit(lambda v, b: self.model.apply(
+            v, b, train=False, calibrate=True, mutable=["quant"]))
 
     def forward_batch(self, batch):
+        if self._needs_calib:
+            _, quant = self._calib(self.variables, batch)
+            self.variables = {**self.variables, **quant}
+            self._needs_calib = False
         return self._fwd(self.variables, batch)
 
     @staticmethod

@@ -110,12 +110,16 @@ class WSODDetector(nn.Module):
     compute_dtype: str = "bfloat16"
     int8_eval: bool = False           # TPU.INT8_EVAL: quantized serving path
     int8_eval_convs: bool = False     # TPU.INT8_EVAL_CONVS: int8 conv stack
+    int8_static: bool = False         # TPU.INT8_STATIC: calibrated scales
     wino_eval: bool = False           # TPU.WINO_EVAL: fused Pallas Winograd
     neck_dropout: float = 0.5         # fc6/fc7 dropout (vgg16.py classifier)
     # FASTER_RCNN=True: CAM-attention proposal generation instead of
     # precomputed rois (rpn.py:154-190 + cam.py; see models/cam_proposals)
     faster_rcnn: bool = False
     rpn_post_nms: int = 512           # TPU.RPN_POST_NMS (ref: 2000)
+    # backward pruned at the freeze boundary (MODEL.BACKBONE.
+    # FREEZE_CONV_BODY_AT -> conv count; torch requires_grad=False parity)
+    freeze_convs: int = 4
 
     def setup(self):
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -124,7 +128,9 @@ class WSODDetector(nn.Module):
             self.backbone = VGGBackbone(arch=self.backbone_arch,
                                         compute_dtype=dtype,
                                         int8_eval=self.int8_eval_convs,
-                                        wino_eval=self.wino_eval)
+                                        int8_static=self.int8_static,
+                                        wino_eval=self.wino_eval,
+                                        freeze_at=self.freeze_convs)
             self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype,
                                    int8_eval=self.int8_eval,
                                    dropout_rate=self.neck_dropout)
@@ -185,10 +191,11 @@ class WSODDetector(nn.Module):
         return self.neck(pooled, train=train)
 
     # -- eval -----------------------------------------------------------------
-    def __call__(self, batch: Batch, train: bool = False):
+    def __call__(self, batch: Batch, train: bool = False,
+                 calibrate: bool = False):
         if train:
             return self.train_forward(batch)
-        return self.eval_forward(batch)
+        return self.eval_forward(batch, calibrate=calibrate)
 
     def init_all(self, batch: Batch):
         """Cheap initializer: touches every submodule (backbone, neck,
@@ -210,15 +217,20 @@ class WSODDetector(nn.Module):
             _ = self.cdb(flat, batch.box_mask.reshape(-1), train=True)
         return z, out
 
-    def eval_forward(self, batch: Batch):
+    def eval_forward(self, batch: Batch, calibrate: bool = False):
         """Returns (scores [B,P,C], boxes) per the REGRESS_HEUR heuristic
         (weak_head.py:124-145). For AVG, boxes are the decoded per-class
         regressed boxes [B,P,4C] clipped to the image; otherwise the raw
-        proposals [B,P,4]."""
-        use_fast = (self.backbone_arch.startswith("VGG16")
-                    and (self.int8_eval_convs
-                         or (self.wino_eval and (_on_tpu() or _interp()))))
-        feats = self.backbone(batch.images, fast_eval=use_fast)
+        proposals [B,P,4]. ``calibrate`` runs the int8 conv stack in bf16
+        while recording activation scales into the "quant" collection
+        (apply with mutable=["quant"]; see vgg16.py int8_static)."""
+        if self.backbone_arch.startswith("VGG16"):
+            use_fast = (self.int8_eval_convs
+                        or (self.wino_eval and (_on_tpu() or _interp())))
+            feats = self.backbone(batch.images, fast_eval=use_fast,
+                                  calibrate=calibrate and use_fast)
+        else:
+            feats = self.backbone(batch.images)
         pooled = self.pool(feats, batch.boxes, batch.box_mask)
         b, p = pooled.shape[:2]
         clean = self._neck_flat(pooled.reshape(b * p, *pooled.shape[2:]),
@@ -453,7 +465,18 @@ def detector_from_cfg(cfg) -> WSODDetector:
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         int8_eval=cfg.TPU.INT8_EVAL,
         int8_eval_convs=cfg.TPU.INT8_EVAL_CONVS,
+        int8_static=cfg.TPU.INT8_STATIC,
         wino_eval=cfg.TPU.WINO_EVAL,
         faster_rcnn=cfg.MODEL.FASTER_RCNN,
         rpn_post_nms=cfg.TPU.RPN_POST_NMS,
+        freeze_convs=_freeze_count(cfg),
     )
+
+
+def _freeze_count(cfg) -> int:
+    """FREEZE_CONV_BODY_AT -> pruned conv count (vgg16.py:48-55)."""
+    at = cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
+    if at <= 0 or not cfg.MODEL.BACKBONE.CONV_BODY.startswith("VGG"):
+        return 0
+    from .vgg16 import FREEZE_CONV_COUNTS
+    return FREEZE_CONV_COUNTS[at - 1]

@@ -135,9 +135,27 @@ class VGGBackbone(nn.Module):
     # winograd (tests/test_winograd.py); takes precedence over int8_eval
     # on eligible layers. Eval-only: train always runs bf16 direct.
     wino_eval: bool = False
+    # Static-calibrated activation scales for the int8 eval convs: a
+    # calibration pass (calibrate=True, mutable=["quant"]) records per-layer
+    # input abs-maxes into the "quant" collection; with int8_static=True the
+    # int8 convs then read those scalars instead of recomputing abs-max per
+    # batch — the dynamic abs-max is a full extra HBM pass over each
+    # activation AND a fusion barrier (the quantize cannot fuse into the
+    # producing conv's epilogue while its scale depends on all of x).
+    # Standard post-training-quantization serving practice; drift is
+    # bounded by tests/test_int8_eval.py.
+    int8_static: bool = False
+    # Prune the backward at the freeze boundary (first freeze_at convs are
+    # frozen, vgg16.py:48-55). torch's requires_grad=False stops autograd
+    # from ever reaching these first layers; without the stop_gradient XLA
+    # computes their dgrads+wgrads (conv1_2 is the most expensive conv in
+    # the net) only for the optimizer mask to zero the update. Forward
+    # numerics are untouched.
+    freeze_at: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, fast_eval: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fast_eval: bool = False,
+                 calibrate: bool = False) -> jnp.ndarray:
         x = x.astype(self.compute_dtype)
         conv_idx = 0
         spec = VGG_CFGS[self.arch]
@@ -175,11 +193,24 @@ class VGGBackbone(nn.Module):
                     conv_idx += 1
                     continue
                 if fast_eval and self.int8_eval and conv_idx >= 2:
-                    from odwscl_tpu.ops.quant import conv2d_int8
+                    from odwscl_tpu.ops.quant import conv2d_int8, conv2d_ref
                     k, b = _ConvKB(ch, (3, 3, x.shape[-1], ch),
                                    name=f"conv{conv_idx}")()
-                    x = conv2d_int8(x, k, b, dilation=dilation, padding=pad,
-                                    out_dtype=self.compute_dtype)
+                    qs = None
+                    if calibrate or self.int8_static:
+                        qs = self.variable("quant", f"conv{conv_idx}_act",
+                                           lambda: jnp.zeros((), jnp.float32))
+                    if calibrate:
+                        qs.value = jnp.maximum(
+                            qs.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+                        x = conv2d_ref(x, k, b, dilation=dilation,
+                                       padding=pad,
+                                       out_dtype=self.compute_dtype)
+                    else:
+                        x = conv2d_int8(
+                            x, k, b, dilation=dilation, padding=pad,
+                            out_dtype=self.compute_dtype,
+                            act_scale=qs.value if self.int8_static else None)
                 elif conv_idx == 0 and self.stem_gemm:
                     # RGB stem: shifted-stack GEMM (same params as nn.Conv)
                     x = _ShiftedInputConv(ch, self.compute_dtype,
@@ -198,6 +229,9 @@ class VGGBackbone(nn.Module):
                 # the reference strips the final ReLU (vgg16.py:83)
                 if conv_idx < num_convs:
                     x = nn.relu(x)
+                if conv_idx == self.freeze_at:
+                    import jax
+                    x = jax.lax.stop_gradient(x)
         return x
 
 

@@ -36,16 +36,39 @@ def quantize_weights(kernel: jnp.ndarray):
     return q, s
 
 
+def conv2d_ref(x: jnp.ndarray, kernel: jnp.ndarray,
+               bias: jnp.ndarray | None = None,
+               dilation: int = 1, padding: int = 1,
+               out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Plain conv from explicit (kernel, bias) params — the calibration
+    pass computes in the reference dtype while recording scales."""
+    import jax as _jax
+
+    dn = _jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                         ("NHWC", "HWIO", "NHWC"))
+    y = _jax.lax.conv_general_dilated(
+        x.astype(out_dtype), kernel.astype(out_dtype), (1, 1),
+        [(padding, padding), (padding, padding)],
+        rhs_dilation=(dilation, dilation), dimension_numbers=dn)
+    if bias is not None:
+        y = y + bias.astype(out_dtype)
+    return y
+
+
 def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
                 bias: jnp.ndarray | None = None,
                 dilation: int = 1, padding: int = 1,
-                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                out_dtype=jnp.bfloat16, act_scale=None) -> jnp.ndarray:
     """3x3 SAME-ish conv with int8 MXU math (eval/serving only).
 
     x [B,H,W,Cin] float; kernel [kh,kw,Cin,Cout] f32. Weights are
-    per-output-channel symmetric int8; activations per-tensor symmetric
-    (dynamic). Accumulates int32 on the MXU (2x the bf16 rate),
-    dequantizes to f32, adds bias. No ReLU fused — caller applies it.
+    per-output-channel symmetric int8; activations per-tensor symmetric —
+    dynamic (an extra abs-max pass over x) unless ``act_scale`` supplies a
+    calibrated scalar abs-max, in which case the quantize is a pure
+    elementwise map that XLA fuses into the producer's epilogue (the
+    static-calibrated serving mode; see vgg16.py). Accumulates int32 on
+    the MXU (2x the bf16 rate), dequantizes to f32, adds bias. No ReLU
+    fused — caller applies it.
     """
     import jax as _jax
 
@@ -53,7 +76,9 @@ def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
     ks = jnp.maximum(ks, 1e-12)
     kq = jnp.clip(jnp.round(kernel / ks), -127, 127).astype(jnp.int8)
     xf = x.astype(jnp.float32)
-    xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0      # scalar
+    amax = (jnp.max(jnp.abs(xf)) if act_scale is None
+            else act_scale.astype(jnp.float32))
+    xs = jnp.maximum(amax, 1e-12) / 127.0                      # scalar
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     dn = _jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                          ("NHWC", "HWIO", "NHWC"))

@@ -5,27 +5,32 @@ on both the eval and train hot paths. Semantics reproduced bit-exactly:
 round-half-up cell coords, malformed rois forced 1x1, integer floor/ceil bin
 edges clipped to the map, empty bins = 0, max-routing backward.
 
-Design (v3 — replaces the v2 masked-strip kernel; ~3x faster):
-- The feature map is VMEM-resident per (batch, channel-tile) grid cell; roi
-  chunks iterate innermost so Mosaic keeps the block loaded.
-- Per roi, the 7 row-bins are computed by looping the bin's EXACT row range
-  [row_lo, row_hi) with a dynamic-bound fori_loop: one [cw, CT] row load +
-  max per row, no row masks, no wasted strip passes (v2 re-applied all 7
-  bin masks to every 8-row strip, which made wide/tall rois ~5x more
-  expensive than the pure reduction work). Column bins then reduce the
-  [7, cw, CT] row-bin scratch the same way: a dynamic-bound loop over the
-  bin's exact columns, one thin [7, CT] sublane slice + max per column.
+Design (v4 — replaces the v3 exact-range row loops; the row stage is O(1)):
+- A row-max SPARSE TABLE is built once per (batch, channel-tile) grid cell:
+  level j holds max over rows [y, y + 2^j). Any row-bin range [lo, hi) then
+  reduces with TWO loads, max(T[j][lo], T[j][hi - 2^j]) for
+  j = floor(log2(hi - lo)) — v3 looped the bin's rows one dynamic-bound
+  load at a time, which made the kernel scalar-loop-bound (~35 dynamic
+  iterations per roi). Levels are capped by VMEM; rare ranges longer than
+  the top span finish with a short stepped loop over top-level entries.
+- The column stage visits each column bin's EXACT 8-wide aligned column
+  group range (Mosaic requires sublane offsets % 8 == 0) with a masked
+  max per group — a static all-groups unroll was measured 7x redundant
+  for wide rois (each group belongs to ~1-2 bins).
 - Per-roi column windows (24 / 40 / 88 / full-width classes, chosen on the
   host) bound the row-load width cw so small rois touch little VMEM.
-- Backward (custom_vjp): recomputes the forward row-bins per roi and routes
-  bin cotangents to cells equal to the bin max (the CUDA argmax backward).
-  Exact ties split the cotangent evenly per reduction stage (columns, then
-  rows — the jnp composed reduce-max VJP convention; CUDA picks the first
-  argmax, but bf16 rounding makes exact ties common and any all-maxima
-  routing would multiply gradient mass). All routing math is f32 (exact
-  for bf16 features; bf16 i1 compare vectors also trip Mosaic relayout
-  limits). d_feat accumulates into a VMEM-resident f32 block across roi
-  chunks, so the whole VJP stays on-chip.
+- Backward (custom_vjp): recomputes the row-bins per roi from the table
+  (O(1) instead of a full row sweep), derives per-column-bin maxima AND
+  tie counts in ONE pass over the bin's column groups (running max+count
+  merge), routes bin cotangents to tied columns, then to tied rows with
+  exactly two dynamic row sweeps (count, route) — v3 needed three. Exact ties split
+  the cotangent evenly per reduction stage (columns, then rows — the jnp
+  composed reduce-max VJP convention; CUDA picks the first argmax, but
+  bf16 rounding makes exact ties common and any all-maxima routing would
+  multiply gradient mass). All routing math is f32 (exact for bf16
+  features; bf16 i1 compare vectors also trip Mosaic relayout limits).
+  d_feat accumulates into a VMEM-resident f32 block across roi chunks, so
+  the whole VJP stays on-chip.
 - Feature maps too large for VMEM residency fall back to the XLA pooler
   via the feasibility gates below (no shipped eval/train scale needs it).
 """
@@ -44,16 +49,23 @@ CW_NARROW = 40    # narrow-roi column window
 CW_MED = 88       # medium-roi column window
 CHUNK = 128       # rois per grid step (fewer grid steps = less per-step
                   # block-switch overhead; meta SMEM + out blocks stay small)
-META_N = 33       # int32 scalars per roi (see _roi_meta)
+META_N = 54       # int32 scalars per roi (see _roi_meta)
 # v5e VMEM is 128 MB; the XLA default scoped cap is 16 MB, raised per-call
 # via CompilerParams(vmem_limit_bytes) to the actual block need
-_VMEM_BUDGET = 84 * 1024 * 1024
+# headroom matters: Mosaic's actual scoped-vmem allocation ran ~22 MB above
+# this module's block-size estimate (measured: est 103.5 M -> 125.65 M OOM
+# at the 124 M hard cap), so the budget stays well under the cap
+_VMEM_BUDGET = 90 * 1024 * 1024
 
 # meta layout (per roi): 0 cls, 1 valid, 2 xs_s, 3 xs_n, 4 xs_m,
-# 5..11 row_lo, 12..18 row_hi, 19..25 col_lo, 26..32 col_hi
+# 5..11 row_lo, 12..18 row_hi, 19..25 col_lo, 26..32 col_hi,
+# 33..39 row_j (sparse-table level; -1 = empty bin),
+# 40..46 row_b (second table load = row_hi - 2^row_j),
+# 47..53 row_ns (stepped top-level loads for ranges > 2*top span)
 # (lo/hi are absolute cell coords clipped to the true map)
 _M_CLS, _M_VALID, _M_XSS, _M_XSN, _M_XSM = range(5)
 _M_RLO, _M_RHI, _M_CLO, _M_CHI = 5, 12, 19, 26
+_M_RJ, _M_RB, _M_RNS = 33, 40, 47
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,8 +84,9 @@ def _neg_th(dtype):
 # host-side metadata
 # ---------------------------------------------------------------------------
 
-def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cws):
-    """Per-roi int32 metadata [B, P, META_N] (CUDA cell coords + windows)."""
+def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cws, nl):
+    """Per-roi int32 metadata [B, P, META_N] (CUDA cell coords + windows +
+    sparse-table row lookup plan for the ``nl``-level table)."""
     cells = jnp.floor(rois.astype(jnp.float32) * spatial_scale + 0.5)
     cells = cells.astype(jnp.int32)
     x1, y1, x2, y2 = (cells[..., i] for i in range(4))
@@ -85,6 +98,17 @@ def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cws):
     row_hi = jnp.clip(((ph + 1) * rh[..., None] + 6) // 7 + y1[..., None], 0, h)
     col_lo = jnp.clip(ph * rw[..., None] // 7 + x1[..., None], 0, w)
     col_hi = jnp.clip(((ph + 1) * rw[..., None] + 6) // 7 + x1[..., None], 0, w)
+
+    # table lookup plan: j = floor(log2(t)) capped at the top level; two
+    # overlapping span-2^j loads cover t <= 2^(j+1); longer ranges (only
+    # possible when capped) add ns stepped top-level loads in between
+    t = row_hi - row_lo
+    j = jnp.minimum(31 - jax.lax.clz(jnp.maximum(t, 1)), nl - 1)
+    span = jnp.left_shift(1, j)
+    row_b = jnp.maximum(row_hi - span, 0)
+    row_ns = jnp.maximum(-(-t // jnp.maximum(span, 1)) - 2, 0)
+    row_j = jnp.where(t > 0, j, -1)
+    row_ns = jnp.where(t > 0, row_ns, 0)
 
     cw_s, cw_n, cw_m = cws
     aligned = (jnp.clip(x1, 0, wp - 1) // 8) * 8
@@ -101,7 +125,8 @@ def _roi_meta(rois, mask, spatial_scale, h, w, hp, wp, cws):
                               jnp.where(fits_m & (cw_m < wp), 2, 3)))
     head = jnp.stack([cls, mask.astype(jnp.int32), xs_s, xs_n, xs_m],
                      axis=-1)
-    return jnp.concatenate([head, row_lo, row_hi, col_lo, col_hi],
+    return jnp.concatenate([head, row_lo, row_hi, col_lo, col_hi,
+                            row_j, row_b, row_ns],
                            axis=-1).astype(jnp.int32)
 
 
@@ -113,22 +138,58 @@ def _ms(meta_ref, r, k):
     return meta_ref[0, r, k]
 
 
-def _rowbins(meta_ref, feat_ref, rb_ref, r, xs, cw, dtype):
-    """Fill rb_ref[:, :cw] with the 7 row-bin maxima of roi r: for each
-    bin, loop its exact row range; one [cw, CT] load + max per row (no
-    row masks, no wasted strip passes)."""
+def _build_table(feat_ref, tbl_ref, nl):
+    """Row-max sparse table WITHOUT a level-0 copy: slot i holds the max
+    over rows [y, y + 2^(i+1)) — span-1 lookups read the feature block
+    directly, which saves an hp*wp*ct VMEM slab (the difference between a
+    512- and a 256-channel tile at the eval shape). Row tails are filled
+    so lookups never touch uninitialized scratch."""
+    hp = feat_ref.shape[1]
+    for j in range(1, nl):
+        d = 1 << (j - 1)
+        if j == 1:
+            tbl_ref[0, 0:hp - d] = jnp.maximum(feat_ref[0, 0:hp - d],
+                                               feat_ref[0, d:hp])
+            tbl_ref[0, hp - d:hp] = feat_ref[0, hp - d:hp]
+        else:
+            tbl_ref[j - 1, 0:hp - d] = jnp.maximum(tbl_ref[j - 2, 0:hp - d],
+                                                   tbl_ref[j - 2, d:hp])
+            tbl_ref[j - 1, hp - d:hp] = tbl_ref[j - 2, hp - d:hp]
+
+
+def _rowbins_tbl(meta_ref, feat_ref, tbl_ref, rb_ref, r, xs, cw, nl,
+                 dtype):
+    """Fill rb_ref[ph, :cw] with the 7 row-bin maxima of roi r via the
+    sparse table: two loads per bin (+ a stepped loop only for ranges
+    longer than twice the top span). Level-0 (single-row span) candidates
+    come from the feature block; a scalar select picks the right pair."""
     ct = feat_ref.shape[-1]
+    span = 1 << (nl - 1)
     for ph in range(7):
-        lo = _ms(meta_ref, r, _M_RLO + ph)
-        hi = _ms(meta_ref, r, _M_RHI + ph)
+        jj = _ms(meta_ref, r, _M_RJ + ph)
+        aa = _ms(meta_ref, r, _M_RLO + ph)
+        bb = _ms(meta_ref, r, _M_RB + ph)
+        lvl = jnp.maximum(jj - 1, 0)
+        fa = feat_ref[0, aa, pl.ds(xs, cw), :].reshape(cw, ct)
+        fb = feat_ref[0, bb, pl.ds(xs, cw), :].reshape(cw, ct)
+        ta = tbl_ref[lvl, aa, pl.ds(xs, cw), :].reshape(cw, ct)
+        tb = tbl_ref[lvl, bb, pl.ds(xs, cw), :].reshape(cw, ct)
+        va = jnp.where(jj >= 1, ta, fa)
+        vb = jnp.where(jj >= 1, tb, fb)
+        m = jnp.maximum(va, vb).astype(dtype)
+        rb_ref[ph, :cw] = jnp.where(jj >= 0, m,
+                                    jnp.full((cw, ct), _neg(dtype), dtype))
+        ns = _ms(meta_ref, r, _M_RNS + ph)
 
-        def body(y, acc):
-            row = feat_ref[0, y, pl.ds(xs, cw), :].reshape(cw, ct)
-            return jnp.maximum(acc, row.astype(acc.dtype))
-
-        acc = jax.lax.fori_loop(
-            lo, hi, body, jnp.full((cw, ct), _neg(dtype), dtype))
-        rb_ref[ph, :cw] = acc
+        @pl.when(ns > 0)
+        def _(ph=ph, aa=aa, ns=ns):
+            def sbody(k, _):
+                v = tbl_ref[nl - 2, aa + k * span,
+                            pl.ds(xs, cw), :].reshape(cw, ct)
+                rb_ref[ph, :cw] = jnp.maximum(rb_ref[ph, :cw],
+                                              v.astype(dtype))
+                return 0
+            jax.lax.fori_loop(1, ns + 1, sbody, 0)
 
 
 def _col_range(meta_ref, r, pw, xs, cw):
@@ -144,7 +205,7 @@ def _col_range(meta_ref, r, pw, xs, cw):
 
 def _colbins(meta_ref, rb_ref, r, xs, cw):
     """[7, 7, CT] bin maxima from the row-bin scratch: per column-bin,
-    masked maxes over the bin's 8-aligned column groups."""
+    masked maxes over the bin's exact 8-aligned column groups."""
     ct = rb_ref.shape[-1]
     dtype = rb_ref.dtype
     res_cols = []
@@ -172,7 +233,14 @@ def _finalize(res, valid):
     return jnp.where(valid, out, jnp.zeros_like(out))
 
 
-def _fwd_kernel(meta_ref, feat_ref, out_ref, rb_ref, *, wp, cws):
+def _fwd_kernel(meta_ref, feat_ref, out_ref, tbl_ref, rb_ref, *, wp, cws,
+                nl):
+    rc = pl.program_id(2)
+
+    @pl.when(rc == 0)
+    def _():
+        _build_table(feat_ref, tbl_ref, nl)
+
     # rois iterate via fori_loop (not a Python unroll): the kernel program
     # contains ONE roi body per class, keeping the Mosaic compile
     # tractable (a 32-roi unroll took 16+ min to compile; an interleaved
@@ -188,7 +256,8 @@ def _fwd_kernel(meta_ref, feat_ref, out_ref, rb_ref, *, wp, cws):
         def run(cw, xs_slot):
             xs = (pl.multiple_of(_ms(meta_ref, r, xs_slot), 8)
                   if xs_slot is not None else 0)
-            _rowbins(meta_ref, feat_ref, rb_ref, r, xs, cw, feat_ref.dtype)
+            _rowbins_tbl(meta_ref, feat_ref, tbl_ref, rb_ref, r, xs, cw,
+                         nl, feat_ref.dtype)
             res = _colbins(meta_ref, rb_ref, r, xs, cw)
             out_ref[0, r] = _finalize(res, valid).astype(out_ref.dtype)
 
@@ -208,13 +277,14 @@ def _fwd_kernel(meta_ref, feat_ref, out_ref, rb_ref, *, wp, cws):
     jax.lax.fori_loop(0, CHUNK, body, 0)
 
 
-def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, rb_ref, drb_ref, *,
-                wp, cws):
+def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, tbl_ref, rb_ref,
+                drb_ref, *, wp, cws, nl):
     rc = pl.program_id(2)
 
     @pl.when(rc == 0)
     def _():
         dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
+        _build_table(feat_ref, tbl_ref, nl)
 
     ct = feat_ref.shape[-1]
 
@@ -225,41 +295,53 @@ def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, rb_ref, drb_ref, *,
         def run(cw, xs_slot):
             xs = (pl.multiple_of(_ms(meta_ref, r, xs_slot), 8)
                   if xs_slot is not None else 0)
-            # forward recompute, all f32 (exact for bf16; avoids Mosaic
-            # i1-relayout limits on bf16 compare vectors)
-            _rowbins(meta_ref, feat_ref, rb_ref, r, xs, cw, jnp.float32)
-            res = _colbins(meta_ref, rb_ref, r, xs, cw)   # [7, 7, CT] f32
-            live = jnp.where(res > _neg_th(jnp.float32), 1.0, 0.0)
+            # forward recompute from the table, all f32 (exact for bf16;
+            # avoids Mosaic i1-relayout limits on bf16 compare vectors)
+            _rowbins_tbl(meta_ref, feat_ref, tbl_ref, rb_ref, r, xs, cw,
+                         nl, jnp.float32)
+            negf = _neg(jnp.float32)
             drb_ref[:, :cw] = jnp.zeros((7, cw, ct), jnp.float32)
 
-            # columns: count ties along the bin's exact column range, then
-            # route g / cnt to tied columns of the row-bin scratch
+            # columns: per bin, ONE pass over the bin's exact 8-aligned
+            # groups computing max AND tie count together (running merge:
+            # a strictly greater group max resets the count), then a
+            # second pass routing g / cnt to tied columns
             for pw in range(7):
                 clo, chi, g0, ng = _col_range(meta_ref, r, pw, xs, cw)
-                target = res[:, pw:pw + 1, :]             # [7, 1, CT]
-                g_pw = (g_ref[0, r, :, pw, :] * live[:, pw, :])
 
-                def grp_eq(base):
-                    grp = rb_ref[:, pl.ds(base, 8), :]    # [7, 8, CT] f32
+                def mc_body(g, carry):
+                    acc, cnt = carry
+                    base = pl.multiple_of(g0 + 8 * g, 8)
+                    grp = rb_ref[:, pl.ds(base, 8), :]   # [7, 8, CT] f32
                     ci = jax.lax.broadcasted_iota(
                         jnp.int32, (1, 8, 1), 1) + base
-                    mf = jnp.where((ci >= clo) & (ci < chi), 1.0, 0.0)
-                    return mf * jnp.where(grp == target, 1.0, 0.0)
+                    inb = (ci >= clo) & (ci < chi)
+                    mf = jnp.where(inb, 1.0, 0.0)
+                    gm = jnp.max(jnp.where(inb, grp, negf), axis=1)
+                    eq = jnp.where(grp == gm[:, None, :], 1.0, 0.0) * mf
+                    gc = jnp.sum(eq, axis=1)
+                    cnt = jnp.where(gm > acc, gc,
+                                    jnp.where(gm == acc, cnt + gc, cnt))
+                    return jnp.maximum(acc, gm), cnt
 
-                def cnt_body(g, acc):
-                    base = pl.multiple_of(g0 + 8 * g, 8)
-                    return acc + jnp.sum(grp_eq(base), axis=1)
-
-                cnt = jax.lax.fori_loop(0, ng, cnt_body,
-                                        jnp.zeros((7, ct), jnp.float32))
-                d_col = g_pw / jnp.maximum(cnt, 1.0)      # [7, CT]
+                amax, acnt = jax.lax.fori_loop(
+                    0, ng, mc_body,
+                    (jnp.full((7, ct), negf, jnp.float32),
+                     jnp.zeros((7, ct), jnp.float32)))
+                live = jnp.where(amax > _neg_th(jnp.float32), 1.0, 0.0)
+                d_col = (g_ref[0, r, :, pw, :] * live
+                         / jnp.maximum(acnt, 1.0))       # [7, CT]
 
                 def route_body(g, _):
                     base = pl.multiple_of(g0 + 8 * g, 8)
-                    eqf = grp_eq(base)
+                    grp = rb_ref[:, pl.ds(base, 8), :]
+                    ci = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 8, 1), 1) + base
+                    mf = jnp.where((ci >= clo) & (ci < chi), 1.0, 0.0)
+                    eq = jnp.where(grp == amax[:, None, :], 1.0, 0.0) * mf
                     cur = drb_ref[:, pl.ds(base, 8), :]
                     drb_ref[:, pl.ds(base, 8), :] = (
-                        cur + d_col[:, None, :] * eqf)
+                        cur + eq * d_col[:, None, :])
                     return 0
 
                 jax.lax.fori_loop(0, ng, route_body, 0)
@@ -320,36 +402,47 @@ def _cws(wp):
     return (min(CW_SMALL, wp), min(CW_NARROW, wp), min(CW_MED, wp))
 
 
-def _ct(c, hp, wp, itemsize, bwd):
-    """Largest lane-aligned channel tile whose double-buffered resident
-    blocks fit the VMEM budget. Bigger tiles mean fewer grid passes and
-    less per-roi scalar overhead."""
+def _nl_full(hp: int) -> int:
+    """Levels so the top span covers any in-map range: 2^(nl-1) <= hp."""
+    return max(int(hp).bit_length(), 2)
+
+
+def _plan(c, hp, wp, itemsize, bwd):
+    """(nl, ct): the largest channel tile, then the deepest sparse table,
+    that fit the VMEM budget. Bigger tiles mean fewer grid passes (the
+    per-roi scalar work repeats per tile); deeper tables mean fewer
+    stepped loads for tall rois."""
     if c % 128 != 0:
-        return c  # interpret-mode tests only
+        return _nl_full(hp), c  # interpret-mode tests only
+    nl_top = _nl_full(hp)
     for ct in (512, 256, 128):
         if c % ct:
             continue
-        if _vmem_need(hp, wp, ct, itemsize, bwd) <= _VMEM_BUDGET:
-            return ct
-    return 128
+        for nl in range(nl_top, 2, -1):
+            if _vmem_need(hp, wp, ct, itemsize, bwd, nl) <= _VMEM_BUDGET:
+                return nl, ct
+    return 3, 128
 
 
-def _vmem_need(hp, wp, ct, itemsize, bwd):
+def _vmem_need(hp, wp, ct, itemsize, bwd, nl):
     feat = 2 * hp * wp * ct * itemsize
+    tbl = (nl - 1) * hp * wp * ct * itemsize
     out = 2 * CHUNK * 49 * ct * (4 if bwd else itemsize)
     scratch = 7 * wp * ct * (8 if bwd else itemsize)
     dfeat = 2 * hp * wp * ct * 4 if bwd else 0
-    return feat + out + scratch + dfeat + (2 << 20)
+    return feat + tbl + out + scratch + dfeat + (2 << 20)
 
 
 def pallas_pool_feasible(h: int, w: int, c: int, itemsize: int = 2) -> bool:
-    """True if the feature block fits VMEM (128 MB on v5e) at the minimum
-    lane-aligned channel tile — covers every reference image/TTA scale;
-    the XLA pooler remains only as an off-TPU fallback."""
+    """True if the feature block + a (possibly shallow) sparse table fit
+    VMEM (128 MB on v5e) at the minimum lane-aligned channel tile — covers
+    every reference image/TTA scale; the XLA pooler remains only as an
+    off-TPU fallback."""
     if c % 128 != 0:
         return False
     hp, wp = _padded_dims(h, w)
-    return _vmem_need(hp, wp, 128, itemsize, bwd=False) <= _VMEM_BUDGET
+    return _vmem_need(hp, wp, 128, itemsize, bwd=False,
+                      nl=3) <= _VMEM_BUDGET
 
 
 def pallas_pool_bwd_feasible(h: int, w: int, c: int, itemsize: int = 2) -> bool:
@@ -357,32 +450,35 @@ def pallas_pool_bwd_feasible(h: int, w: int, c: int, itemsize: int = 2) -> bool:
     if c % 128 != 0:
         return False
     hp, wp = _padded_dims(h, w)
-    return _vmem_need(hp, wp, 128, itemsize, bwd=True) <= _VMEM_BUDGET
+    return _vmem_need(hp, wp, 128, itemsize, bwd=True, nl=3) <= _VMEM_BUDGET
 
 
-def _prep(feat, rois, roi_mask, spatial_scale):
+def _prep(feat, rois, roi_mask, spatial_scale, bwd):
     b, h, w, c = feat.shape
     hp, wp = _padded_dims(h, w)
     cws = _cws(wp)
+    nl, ct = _plan(c, hp, wp, jnp.dtype(feat.dtype).itemsize, bwd)
     p = rois.shape[1]
     pad_p = (-p) % CHUNK
     rois_p = jnp.pad(rois, ((0, 0), (0, pad_p), (0, 0)))
     mask_p = jnp.pad(roi_mask, ((0, 0), (0, pad_p)))
-    meta = _roi_meta(rois_p, mask_p, spatial_scale, h, w, hp, wp, cws)
+    meta = _roi_meta(rois_p, mask_p, spatial_scale, h, w, hp, wp, cws, nl)
     feat_p = jnp.pad(feat, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-    return feat_p, meta, hp, wp, cws, p, pad_p
+    return feat_p, meta, hp, wp, cws, nl, ct, p, pad_p
 
 
-def _run_fwd(feat_p, meta, hp, wp, cws, interpret=False):
+def _run_fwd(feat_p, meta, hp, wp, cws, nl, ct, interpret=False):
     b, _, _, c = feat_p.shape
     pp = meta.shape[1]
     isz = jnp.dtype(feat_p.dtype).itemsize
-    ct = _ct(c, hp, wp, isz, bwd=False)
     grid = (b, c // ct, pp // CHUNK)
-    kernel = functools.partial(_fwd_kernel, wp=wp, cws=cws)
+    kernel = functools.partial(_fwd_kernel, wp=wp, cws=cws, nl=nl)
     params = pltpu.CompilerParams(
-        vmem_limit_bytes=min(_vmem_need(hp, wp, ct, isz, False) + (24 << 20),
-                             124 * 1024 * 1024))
+        # Mosaic's real scoped allocation runs ~21 MB above the block-size
+        # estimate (measured); the margin must cover it
+        vmem_limit_bytes=min(
+            _vmem_need(hp, wp, ct, isz, False, nl) + (34 << 20),
+            124 * 1024 * 1024))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -397,21 +493,23 @@ def _run_fwd(feat_p, meta, hp, wp, cws, interpret=False):
                                lambda bi, ci, ri: (bi, ri, 0, 0, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, pp, 7, 7, c), feat_p.dtype),
-        scratch_shapes=[pltpu.VMEM((7, wp, ct), feat_p.dtype)],
+        scratch_shapes=[pltpu.VMEM((max(nl - 1, 1), hp, wp, ct),
+                                   feat_p.dtype),
+                        pltpu.VMEM((7, wp, ct), feat_p.dtype)],
         interpret=interpret,
     )(meta, feat_p)
 
 
-def _run_bwd(feat_p, meta, g_p, hp, wp, cws, interpret=False):
+def _run_bwd(feat_p, meta, g_p, hp, wp, cws, nl, ct, interpret=False):
     b, _, _, c = feat_p.shape
     pp = meta.shape[1]
     isz = jnp.dtype(feat_p.dtype).itemsize
-    ct = _ct(c, hp, wp, isz, bwd=True)
     grid = (b, c // ct, pp // CHUNK)
-    kernel = functools.partial(_bwd_kernel, wp=wp, cws=cws)
+    kernel = functools.partial(_bwd_kernel, wp=wp, cws=cws, nl=nl)
     params = pltpu.CompilerParams(
-        vmem_limit_bytes=min(_vmem_need(hp, wp, ct, isz, True) + (24 << 20),
-                             124 * 1024 * 1024))
+        vmem_limit_bytes=min(
+            _vmem_need(hp, wp, ct, isz, True, nl) + (34 << 20),
+            124 * 1024 * 1024))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -429,9 +527,11 @@ def _run_bwd(feat_p, meta, g_p, hp, wp, cws, interpret=False):
                                lambda bi, ci, ri: (bi, 0, 0, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), jnp.float32),
-        # both scratches f32: the backward routing compares in f32 (exact
+        # rb/drb scratches f32: the backward routing compares in f32 (exact
         # for bf16 inputs) to avoid Mosaic i1-relayout limits on bf16
-        scratch_shapes=[pltpu.VMEM((7, wp, ct), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((max(nl - 1, 1), hp, wp, ct),
+                                   feat_p.dtype),
+                        pltpu.VMEM((7, wp, ct), jnp.float32),
                         pltpu.VMEM((7, wp, ct), jnp.float32)],
         interpret=interpret,
     )(meta, feat_p, g_p)
@@ -451,20 +551,20 @@ def roi_pool_tpu(feat, rois, roi_mask, spatial_scale, pooled=7):
 
 def _roi_pool_tpu_fwd(feat, rois, roi_mask, spatial_scale, pooled):
     assert pooled == 7, "kernel is specialized to the shipped 7x7 pooler"
-    feat_p, meta, hp, wp, cws, p, pad_p = _prep(feat, rois, roi_mask,
-                                                spatial_scale)
-    out = _run_fwd(feat_p, meta, hp, wp, cws)
+    feat_p, meta, hp, wp, cws, nl, ct, p, pad_p = _prep(
+        feat, rois, roi_mask, spatial_scale, bwd=False)
+    out = _run_fwd(feat_p, meta, hp, wp, cws, nl, ct)
     return out[:, :p], (feat, rois, roi_mask)
 
 
 def _roi_pool_tpu_bwd(spatial_scale, pooled, residuals, g):
     feat, rois, roi_mask = residuals
     b, h, w, c = feat.shape
-    feat_p, meta, hp, wp, cws, p, pad_p = _prep(feat, rois, roi_mask,
-                                                spatial_scale)
+    feat_p, meta, hp, wp, cws, nl, ct, p, pad_p = _prep(
+        feat, rois, roi_mask, spatial_scale, bwd=True)
     g_p = jnp.pad(g.astype(jnp.float32),
                   ((0, 0), (0, pad_p), (0, 0), (0, 0), (0, 0)))
-    d = _run_bwd(feat_p, meta, g_p, hp, wp, cws)
+    d = _run_bwd(feat_p, meta, g_p, hp, wp, cws, nl, ct)
     return d[:, :h, :w, :].astype(feat.dtype), None, None
 
 

@@ -28,8 +28,11 @@ def _tiny_batch(rng, b=2, p=12, hw=64, c=6):
 
 @pytest.fixture(scope="module")
 def setup():
+    # freeze_convs=0 so the grads-flow-everywhere invariant covers every
+    # layer; the default freeze boundary is covered by test_freeze_boundary
     model = WSODDetector(num_classes=6, mlp_dim=64, cap_a=64, cap_b=32,
-                         gt_cap=16, pooler_win=8, compute_dtype="float32")
+                         gt_cap=16, pooler_win=8, compute_dtype="float32",
+                         freeze_convs=0)
     rng = np.random.RandomState(0)
     batch = _tiny_batch(rng)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -77,6 +80,40 @@ def test_grads_flow_everywhere(setup):
     nonfinite = [jax.tree_util.keystr(k) for k, g in leaves
                  if not bool(jnp.all(jnp.isfinite(g)))]
     assert not nonfinite, f"non-finite grads: {nonfinite}"
+
+
+def test_freeze_boundary_prunes_backward():
+    """With the reference default FREEZE_CONV_BODY_AT=2 (-> 4 convs), the
+    frozen convs get structurally-zero grads (torch requires_grad=False
+    parity: autograd never reaches the first layers) while everything
+    above the boundary still receives gradient."""
+    model = WSODDetector(num_classes=6, mlp_dim=64, cap_a=64, cap_b=32,
+                         gt_cap=16, pooler_win=8, compute_dtype="float32",
+                         freeze_convs=4)
+    rng = np.random.RandomState(0)
+    batch = _tiny_batch(rng)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "augment": jax.random.PRNGKey(2)}, batch, train=True)
+
+    @jax.jit
+    def grad_fn(params, b):
+        def loss_fn(p):
+            losses, _ = model.apply(
+                {"params": p}, b, train=True,
+                rngs={"dropout": jax.random.PRNGKey(3),
+                      "augment": jax.random.PRNGKey(4)})
+            return jnp.sum(jnp.stack(list(losses.values())))
+        return jax.grad(loss_fn)(params)
+
+    grads = grad_fn(variables["params"], batch)
+    bb = grads["backbone"]
+    for i in range(13):
+        gsum = float(jnp.abs(bb[f"conv{i}"]["kernel"]).sum())
+        if i < 4:
+            assert gsum == 0.0, f"conv{i} should be pruned"
+        else:
+            assert gsum > 0.0, f"conv{i} should receive gradient"
 
 
 def test_eval_forward_shapes(setup):

@@ -138,3 +138,48 @@ def test_backbone_int8_param_tree_and_train_path():
     scale = np.abs(y_plain).max() + 1e-6
     assert y8.shape == y_plain.shape
     assert np.abs(y8 - y_plain).max() / scale < 0.25
+
+
+def test_backbone_int8_static_calibrated():
+    """Static-calibrated serving mode (TPU.INT8_STATIC): a calibration
+    apply records per-layer activation abs-maxes into the "quant"
+    collection (and itself computes the plain float forward); the static
+    eval path then matches the dynamic int8 path exactly on the
+    calibration batch (same scales by construction) and stays close on a
+    fresh batch."""
+    from odwscl_tpu.models.vgg16 import VGGBackbone
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    bdyn = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.float32,
+                       int8_eval=True)
+    bstat = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.float32,
+                        int8_eval=True, int8_static=True)
+    params = jax.jit(bdyn.init)(jax.random.PRNGKey(0), x)
+
+    # calibration computes the plain float forward while recording scales
+    y_cal, quant = jax.jit(
+        lambda p, x: bstat.apply(p, x, fast_eval=True, calibrate=True,
+                                 mutable=["quant"]))(params, x)
+    y_plain = np.asarray(jax.jit(bdyn.apply)(params, x))
+    np.testing.assert_allclose(np.asarray(y_cal), y_plain, rtol=1e-5,
+                               atol=1e-5)
+    assert all(float(v) > 0 for v in
+               jax.tree_util.tree_leaves(quant["quant"]))
+
+    # static scales come from CLEAN calibration activations while the
+    # dynamic path re-measures its own quantized activations (standard
+    # PTQ) — so compare both against the float forward, not each other
+    vstat = {"params": params["params"], **quant}
+    scale = np.abs(y_plain).max() + 1e-6
+    y_stat = np.asarray(jax.jit(
+        lambda v, x: bstat.apply(v, x, fast_eval=True))(vstat, x))
+    assert np.abs(y_stat - y_plain).max() / scale < 0.25
+
+    # fresh batch: calibrated scales transfer (clip handles the tail)
+    x2 = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32) * 0.7)
+    y_stat2 = np.asarray(jax.jit(
+        lambda v, x: bstat.apply(v, x, fast_eval=True))(vstat, x2))
+    y_plain2 = np.asarray(jax.jit(bdyn.apply)(params, x2))
+    scale2 = np.abs(y_plain2).max() + 1e-6
+    assert np.abs(y_stat2 - y_plain2).max() / scale2 < 0.25

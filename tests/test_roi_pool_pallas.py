@@ -82,6 +82,38 @@ def test_backward_matches_xla_vjp():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_shallow_table_stepped_loads():
+    """Force a 3-level sparse table so tall rois exercise the stepped
+    top-level loads (on hardware this path runs when VMEM caps the table
+    depth). Covers fwd and bwd."""
+    rng = np.random.RandomState(7)
+    feat = rng.randn(1, 40, 32, 8).astype(np.float32)
+    rois = np.array([
+        [0.0, 0.0, 200.0, 319.0],     # 26 rows -> bins ~4 rows, some steps
+        [8.0, 0.0, 100.0, 310.0],     # tall narrow
+        [16.0, 8.0, 100.0, 90.0],     # small (no steps)
+    ], dtype=np.float32)
+    mask = np.ones((1, 3), bool)
+    orig_plan = rp._plan
+    rp._plan = lambda c, hp, wp, isz, bwd: (3, c)
+    try:
+        fj = jnp.array(feat)
+        rj = jnp.array(rois)[None]
+        mj = jnp.array(mask)
+        out = np.asarray(rp.roi_pool_tpu(fj, rj, mj, 0.125))
+        golden = roi_pool_numpy(feat[0], rois, 0.125)
+        np.testing.assert_allclose(out[0], golden, atol=0, rtol=0)
+        g = jnp.array(rng.randn(1, 3, 7, 7, 8).astype(np.float32))
+        d_pal = jax.grad(
+            lambda f: jnp.vdot(rp.roi_pool_tpu(f, rj, mj, 0.125), g))(fj)
+    finally:
+        rp._plan = orig_plan
+    d_xla = jax.grad(
+        lambda f: jnp.vdot(roi_pool(f, rj, mj, 0.125, 7, win=48), g))(fj)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_xla),
+                               atol=1e-5, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # opt-in dense sweeps (interpret mode; minutes each). The same sweeps run
 # compiled on hardware via tools/validate_roi_pool_tpu.py.

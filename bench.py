@@ -44,11 +44,19 @@ def main():
     batch = Batch(images, sizes, boxes, mask,
                   jnp.zeros((b, c), jnp.float32))
 
-    # opt-in comparison modes (default = the shipped bf16 direct path):
-    # ODWSCL_BENCH_WINO=1 fused Winograd convs, ODWSCL_BENCH_INT8=1 the
-    # int8 serving mode (static-calibrated conv scales, see vgg16.py)
+    # Headline mode = the shipped serving configuration: bf16 direct convs
+    # (measured at the chip's effective conv peak, ~120 TF/s — XLA's conv
+    # is already MXU-bound, and both Winograd and int8 reformulations
+    # measured SLOWER end-to-end, see NOTES.md round-3) + int8 fc6/fc7
+    # (the one eval GEMM the int8 MXU rate genuinely accelerates:
+    # 20.7 -> 14.9 ms measured; drift bounded by tests/test_int8_eval.py).
+    # Opt-outs/variants: ODWSCL_BENCH_BF16=1 pure-bf16 reference-parity
+    # path, ODWSCL_BENCH_INT8=1 full int8 incl. convs (slower, kept for
+    # measurement), ODWSCL_BENCH_WINO=1 fused Winograd convs (slower).
     wino = os.environ.get("ODWSCL_BENCH_WINO", "0") == "1"
-    model = WSODDetector(int8_eval=int8, int8_eval_convs=int8,
+    pure_bf16 = os.environ.get("ODWSCL_BENCH_BF16", "0") == "1"
+    model = WSODDetector(int8_eval=int8 or not pure_bf16,
+                         int8_eval_convs=int8,
                          int8_static=int8, wino_eval=wino)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
@@ -58,7 +66,7 @@ def main():
         _, quant = jax.jit(
             model.apply, static_argnames=("train", "calibrate", "mutable"))(
             variables, batch, train=False, calibrate=True,
-            mutable=["quant"])
+            mutable=("quant",))
         variables = {**variables, **quant}
 
     # timing protocol: ITERS forwards chained inside ONE jit, fetched as a

@@ -69,9 +69,16 @@ def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
     static-calibrated serving mode; see vgg16.py). Accumulates int32 on
     the MXU (2x the bf16 rate), dequantizes to f32, adds bias. No ReLU
     fused — caller applies it.
-    """
-    import jax as _jax
 
+    Lowering: NOT lax.conv_general_dilated — XLA's int8 conv path at
+    these spatial shapes compiles pathologically (observed multi-minute /
+    hung compiles at 416x672; see verify skill notes). Instead the conv is
+    expressed as kh*kw shifted-view int8 GEMMs accumulated in int32:
+    y[b,i,j] = sum_{dy,dx} xq[b, i+d*dy-p, j+d*dx-p] @ kq[dy,dx] — each
+    term a [B*H*W, Cin] x [Cin, Cout] dot_general the TPU lowers straight
+    onto the MXU's int8 path.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
     ks = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0      # [Cout]
     ks = jnp.maximum(ks, 1e-12)
     kq = jnp.clip(jnp.round(kernel / ks), -127, 127).astype(jnp.int8)
@@ -80,12 +87,19 @@ def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
             else act_scale.astype(jnp.float32))
     xs = jnp.maximum(amax, 1e-12) / 127.0                      # scalar
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-    dn = _jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                         ("NHWC", "HWIO", "NHWC"))
-    acc = _jax.lax.conv_general_dilated(
-        xq, kq, (1, 1), [(padding, padding), (padding, padding)],
-        rhs_dilation=(dilation, dilation), dimension_numbers=dn,
-        preferred_element_type=jnp.int32)
+    b, h, w, cin = xq.shape
+    cout = kq.shape[-1]
+    xp = jnp.pad(xq, ((0, 0), (padding, padding), (padding, padding),
+                      (0, 0)))
+    acc = jnp.zeros((b, h, w, cout), jnp.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            view = jax.lax.dynamic_slice(
+                xp, (0, dy * dilation, dx * dilation, 0), (b, h, w, cin))
+            acc = acc + jax.lax.dot_general(
+                view.reshape(-1, cin), kq[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).reshape(b, h, w, cout)
     y = acc.astype(jnp.float32) * (xs * ks)
     if bias is not None:
         y = y + bias.astype(jnp.float32)

@@ -122,6 +122,18 @@ class WSODDetector(nn.Module):
     freeze_convs: int = 4
 
     def setup(self):
+        if self.db_method not in ("none", "dropblock", "concrete"):
+            # go_through_cdb's remaining branch, DB.METHOD='attention'
+            # (weak_head.py:96-97), instantiates Attention_DropBlock
+            # (backbone/vgg16.py:136) — a class never defined or imported
+            # anywhere in the reference, so that config crashes with
+            # NameError at model build there. Fail loudly here instead of
+            # silently degrading to 'none'.
+            raise ValueError(
+                f"DB.METHOD={self.db_method!r} is not supported: the "
+                "reference's 'attention' branch is dead code (undefined "
+                "Attention_DropBlock, vgg16.py:136); use none|dropblock|"
+                "concrete")
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
         if self.backbone_arch.startswith("VGG16"):
@@ -378,6 +390,13 @@ class WSODDetector(nn.Module):
                                   self.temperature)
             losses["loss_sim"] = self.lmda * sim
             metrics["bank_overflow"] = (a.overflow + sb.overflow).astype(jnp.float32)
+            # integer mining signature: bank sizes + mined pgt-instance set
+            # size. Discrete pGT diagnostics in the spirit of the
+            # reference's cal_precision_recall (utils/utils.py:71); also the
+            # flip detector for cross-sharding drift tests (two layouts
+            # computed the same discrete mining decisions iff these match).
+            metrics["n_bank"] = jnp.sum(valid_e).astype(jnp.float32)
+            metrics["n_mined"] = jnp.sum(sb.pgt_instance).astype(jnp.float32)
             pgt_instance = sb.pgt_instance
 
         # refinement branches (loss.py:356-394)
@@ -417,6 +436,9 @@ class WSODDetector(nn.Module):
                     bbox[i], pl.labels, pl.weights, pl.reg_targets, mask,
                     self.cls_agnostic_bbox_reg)
             metrics[f"pgt_overflow{i}"] = pl.overflow.astype(jnp.float32)
+            # discrete per-branch pseudo-label count (flip signature)
+            metrics[f"n_pos{i}"] = jnp.sum(
+                (pl.labels > 0) & mask).astype(jnp.float32)
 
         # image-classification accuracies (loss.py:396-400)
         for i in range(self.num_refs):

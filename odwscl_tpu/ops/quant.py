@@ -79,6 +79,16 @@ def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
     onto the MXU's int8 path.
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
+    # The shifted-view lowering below is only correct for SAME-size output
+    # (2*padding == dilation*(k-1), square kernel): with any other combo
+    # dynamic_slice would clamp out-of-bounds starts and silently return a
+    # same-shaped output with wrong values where conv_general_dilated would
+    # produce a different-sized one (ADVICE r3).
+    if kh != kw or 2 * padding != dilation * (kh - 1):
+        raise ValueError(
+            f"conv2d_int8 requires a square kernel with 2*padding == "
+            f"dilation*(k-1) (SAME output); got k=({kh},{kw}), "
+            f"padding={padding}, dilation={dilation}")
     ks = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0      # [Cout]
     ks = jnp.maximum(ks, 1e-12)
     kq = jnp.clip(jnp.round(kernel / ks), -127, 127).astype(jnp.int8)

@@ -260,3 +260,17 @@ def test_eval_forward_union_heuristic(setup):
     assert scores.shape == (b, 3 * p, 6)
     assert boxes.shape == (b, 3 * p, 6 * 4)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_db_method_attention_fails_loudly():
+    """DB.METHOD='attention' (go_through_cdb's last selectable branch,
+    weak_head.py:96-97) instantiates Attention_DropBlock at reference
+    vgg16.py:136 — a name never defined or imported anywhere in the
+    reference, so the config crashes with NameError at model build there.
+    The rebuild must fail loudly too, not silently degrade to 'none'."""
+    model = WSODDetector(num_classes=6, mlp_dim=64, db_method="attention")
+    rng = np.random.RandomState(0)
+    batch = _tiny_batch(rng)
+    with pytest.raises(ValueError, match="attention"):
+        model.init({"params": jax.random.PRNGKey(0)}, batch,
+                   method="init_all")

@@ -180,7 +180,7 @@ def _update_momentum(optimizer, cur_lr, new_lr, thresh=1.1, eps=1e-10):
                     st["momentum_buffer"] *= correction
 
 
-def _run_reference(contra, lmda, batches, ckpt_path):
+def _run_reference(contra, lmda, batches, ckpt_path, max_iter=MAX_ITER):
     from wetectron.structures.bounding_box import BoxList
 
     net, body, extractor, predictor, sim, evaluator = _build_reference(
@@ -188,7 +188,7 @@ def _run_reference(contra, lmda, batches, ckpt_path):
     _export_checkpoint(body, extractor, predictor, sim, ckpt_path)
     opt, sched = _ref_solver(net)
     curves = []
-    for it in range(MAX_ITER):
+    for it in range(max_iter):
         cur_lr = opt.param_groups[0]["lr"]
         sched.step()
         new_lr = opt.param_groups[0]["lr"]
@@ -219,7 +219,7 @@ def _run_reference(contra, lmda, batches, ckpt_path):
     return curves
 
 
-def _run_rebuild(contra, lmda, batches, ckpt_path):
+def _run_rebuild(contra, lmda, batches, ckpt_path, max_iter=MAX_ITER):
     from odwscl_tpu.models import WSODDetector, Batch
     from odwscl_tpu.models import detector as detector_mod
     from odwscl_tpu.config import get_default_cfg
@@ -273,7 +273,7 @@ def _run_rebuild(contra, lmda, batches, ckpt_path):
                                   jnp.asarray, params)))
         step = jax.jit(make_train_step(model, tx))
         curves = []
-        for it in range(MAX_ITER):
+        for it in range(max_iter):
             state, logs = step(state, jb[it % len(jb)])
             curves.append({k: float(v) for k, v in logs.items()})
         return curves
@@ -303,6 +303,8 @@ def _compare(ref_curves, our_curves, keys, label, tight_iters=TIGHT_ITERS,
                 label, it, k, rv, ov)
     # statistical tail: per-term mean absolute deviation bounded relative
     # to the term's mean magnitude over the same window
+    if len(ref_curves) <= tight_iters:
+        return  # tight-window-only run (the fast-tier guard)
     for k in keys:
         rv = np.array([r[k] for r in ref_curves[tight_iters:]])
         ov = np.array([o[k] for o in our_curves[tight_iters:]])

@@ -8,6 +8,9 @@ axon tunnel cost ~36 ms that pipelining does not hide — see NOTES.md).
 """
 
 import argparse
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 
 import numpy as np

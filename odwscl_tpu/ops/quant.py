@@ -70,25 +70,18 @@ def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
     the MXU (2x the bf16 rate), dequantizes to f32, adds bias. No ReLU
     fused — caller applies it.
 
-    Lowering: NOT lax.conv_general_dilated — XLA's int8 conv path at
-    these spatial shapes compiles pathologically (observed multi-minute /
-    hung compiles at 416x672; see verify skill notes). Instead the conv is
-    expressed as kh*kw shifted-view int8 GEMMs accumulated in int32:
-    y[b,i,j] = sum_{dy,dx} xq[b, i+d*dy-p, j+d*dx-p] @ kq[dy,dx] — each
-    term a [B*H*W, Cin] x [Cin, Cout] dot_general the TPU lowers straight
-    onto the MXU's int8 path.
+    Lowering (round 4): plain lax.conv_general_dilated on int8 operands
+    with int32 accumulation. Measured at the real VGG16 layer shapes
+    (tools/bench_conv_gemm.py, v5e): XLA's int8 conv runs 1.2-1.55x the
+    bf16 conv (conv4_2 7.18 -> 4.58 ms, 144 TOP/s) while the round-3
+    shifted-view GEMM lowering is bandwidth-bound at these [B*H*W, Cin]
+    shapes (0.3-0.6x of even bf16 direct) — a GEMM over Cin<=512 columns
+    re-reads the activation 9x with no MXU re-use to amortize it. The
+    round-3 "int8 conv compiles hang at 416x672" observation did not
+    reproduce on the current toolchain (bench compiles all layers up to
+    832x1344 in seconds); if it regresses, the GEMM fallback lives in
+    tools/bench_conv_gemm.py.
     """
-    kh, kw = kernel.shape[0], kernel.shape[1]
-    # The shifted-view lowering below is only correct for SAME-size output
-    # (2*padding == dilation*(k-1), square kernel): with any other combo
-    # dynamic_slice would clamp out-of-bounds starts and silently return a
-    # same-shaped output with wrong values where conv_general_dilated would
-    # produce a different-sized one (ADVICE r3).
-    if kh != kw or 2 * padding != dilation * (kh - 1):
-        raise ValueError(
-            f"conv2d_int8 requires a square kernel with 2*padding == "
-            f"dilation*(k-1) (SAME output); got k=({kh},{kw}), "
-            f"padding={padding}, dilation={dilation}")
     ks = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0      # [Cout]
     ks = jnp.maximum(ks, 1e-12)
     kq = jnp.clip(jnp.round(kernel / ks), -127, 127).astype(jnp.int8)
@@ -97,19 +90,12 @@ def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
             else act_scale.astype(jnp.float32))
     xs = jnp.maximum(amax, 1e-12) / 127.0                      # scalar
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-    b, h, w, cin = xq.shape
-    cout = kq.shape[-1]
-    xp = jnp.pad(xq, ((0, 0), (padding, padding), (padding, padding),
-                      (0, 0)))
-    acc = jnp.zeros((b, h, w, cout), jnp.int32)
-    for dy in range(kh):
-        for dx in range(kw):
-            view = jax.lax.dynamic_slice(
-                xp, (0, dy * dilation, dx * dilation, 0), (b, h, w, cin))
-            acc = acc + jax.lax.dot_general(
-                view.reshape(-1, cin), kq[dy, dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).reshape(b, h, w, cout)
+    dn = jax.lax.conv_dimension_numbers(xq.shape, kq.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), [(padding, padding), (padding, padding)],
+        rhs_dilation=(dilation, dilation), dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (xs * ks)
     if bias is not None:
         y = y + bias.astype(jnp.float32)

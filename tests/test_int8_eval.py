@@ -101,7 +101,10 @@ def test_conv2d_int8_close_to_f32():
                     .astype(np.float32))           # post-ReLU activations
     w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32) * 0.1)
     b = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
-    for dil, pad in [(1, 1), (2, 2)]:
+    # (1,1)/(2,2) are the backbone's SAME-output combos; (1,0) exercises a
+    # VALID-output shape (the r3 GEMM lowering silently mis-handled it —
+    # ADVICE r3; the r4 conv lowering is shape-general)
+    for dil, pad in [(1, 1), (2, 2), (1, 0)]:
         got = np.asarray(conv2d_int8(x, w, b, dilation=dil, padding=pad,
                                      out_dtype=jnp.float32))
         dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,

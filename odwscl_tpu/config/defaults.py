@@ -194,12 +194,20 @@ _C.TPU.INT8_EVAL = False
 _C.TPU.INT8_EVAL_CONVS = False
 
 # Static-calibrated activation scales for the int8 conv stack: the
-# inference engine records per-layer abs-maxes on the first batch (a bf16
-# calibration forward), after which the per-batch abs-max passes (an extra
-# HBM sweep per conv AND a fusion barrier) disappear — the quantize folds
-# into the producing conv's epilogue. Standard post-training-quantization
-# serving; drift bounded in tests/test_int8_eval.py.
+# inference engine records per-layer abs-maxes over INT8_CALIB_BATCHES
+# eval batches (bf16 calibration forwards across every TTA transform, so
+# the scales cover all serving scales), persists them next to the
+# checkpoint (OUTPUT_DIR/int8_scales.npz, reloaded on later runs), after
+# which the per-batch abs-max passes (an extra HBM sweep per conv AND a
+# fusion barrier) disappear — the quantize folds into the producing
+# conv's epilogue. Standard post-training-quantization serving; drift
+# bounded in tests/test_int8_eval.py, end-metric delta in RESULTS.md.
 _C.TPU.INT8_STATIC = False
+
+# Eval batches used for the static-int8 calibration sweep (each batch runs
+# every TTA transform during calibration, so scale coverage includes the
+# largest serving resolution).
+_C.TPU.INT8_CALIB_BATCHES = 2
 
 # Fused Pallas Winograd F(4,3) convs on the eval path
 # (ops/winograd_pallas.py): 4x fewer MXU FLOPs on every stride-1 3x3 conv

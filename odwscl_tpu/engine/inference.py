@@ -141,6 +141,36 @@ def gather_predictions(predictions: Dict[int, dict], dataset_len: int,
     return [merged[i] for i in sorted(merged)]
 
 
+def save_int8_scales(path: str, variables: dict):
+    """Persist the calibrated "quant" collection as an .npz of
+    '/'-joined-path -> scalar (the serving artifact next to the ckpt)."""
+    flat = {}
+
+    def walk(tree, prefix):
+        for k, v in tree.items():
+            kp = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk(v, kp)
+            else:
+                flat[kp] = np.asarray(v)
+
+    walk(variables["quant"], "")
+    np.savez(path, **flat)
+
+
+def load_int8_scales(path: str) -> dict:
+    """Inverse of save_int8_scales: .npz -> {"quant": nested tree}."""
+    tree: dict = {}
+    with np.load(path) as z:
+        for kp in z.files:
+            parts = kp.split("/")
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[kp])
+    return {"quant": tree}
+
+
 class Inferencer:
     """Runs eval forwards (with TTA) and post-processing for one model."""
 
@@ -157,19 +187,48 @@ class Inferencer:
             tuple(cfg.TPU.PROPOSAL_BUCKETS))
         self._fwd = jax.jit(
             lambda v, b: self.model.apply(v, b, train=False))
-        # static-calibrated int8 serving (TPU.INT8_STATIC): record per-layer
-        # activation scales on the first forwarded batch, then every eval
-        # forward reads them (vgg16.py int8_static)
+        # static-calibrated int8 serving (TPU.INT8_STATIC): per-layer
+        # activation abs-maxes recorded by calibrate() over N eval batches
+        # (persisted via save/load_int8_scales), then every eval forward
+        # reads them (vgg16.py int8_static). forward_batch falls back to a
+        # single-batch lazy calibration for direct API users.
         self._needs_calib = bool(cfg.TPU.INT8_STATIC
                                  and cfg.TPU.INT8_EVAL_CONVS
                                  and "quant" not in variables)
         self._calib = jax.jit(lambda v, b: self.model.apply(
             v, b, train=False, calibrate=True, mutable=["quant"]))
 
+    def _calib_step(self, batch):
+        """One calibration forward; merges the running abs-maxes (the
+        model's calibrate path takes max(recorded, batch) when a quant
+        collection is already present in the variables)."""
+        _, quant = self._calib(self.variables, batch)
+        self.variables = {**self.variables, **quant}
+
+    def calibrate(self, eval_loader, n_batches: int):
+        """Static-int8 calibration sweep: run bf16 calibration forwards on
+        the first ``n_batches`` loader batches — across EVERY TTA transform
+        when TTA is enabled, so the recorded abs-maxes cover the largest
+        serving resolution — accumulating running per-layer maxima."""
+        if not self._needs_calib:
+            return
+        transforms = (self.tta.transforms() if self.tta.enabled else None)
+        n_done = 0
+        for batch, samples, _ in eval_loader:
+            if transforms is None:
+                self._calib_step(batch)
+            else:
+                for tr in transforms:
+                    self._calib_step(self.collator([tr(s) for s in samples]))
+            n_done += 1
+            if n_done >= n_batches:
+                break
+        self._needs_calib = False
+        logger.info("int8 static calibration: %d batches swept", n_done)
+
     def forward_batch(self, batch):
         if self._needs_calib:
-            _, quant = self._calib(self.variables, batch)
-            self.variables = {**self.variables, **quant}
+            self._calib_step(batch)
             self._needs_calib = False
         return self._fwd(self.variables, batch)
 
@@ -259,6 +318,20 @@ def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
         logger.info("Loaded cached predictions from %s", pred_path)
     else:
         inferencer = Inferencer(model, variables, cfg)
+        if inferencer._needs_calib:
+            # static-int8 serving: reuse persisted scales if present, else
+            # sweep the first TPU.INT8_CALIB_BATCHES batches and persist
+            scales_path = os.path.join(cfg.OUTPUT_DIR, "int8_scales.npz")
+            if os.path.exists(scales_path):
+                inferencer.variables = {**inferencer.variables,
+                                        **load_int8_scales(scales_path)}
+                inferencer._needs_calib = False
+                logger.info("Loaded int8 scales from %s", scales_path)
+            else:
+                inferencer.calibrate(eval_loader, cfg.TPU.INT8_CALIB_BATCHES)
+                if jax.process_index() == 0 and os.path.isdir(cfg.OUTPUT_DIR):
+                    save_int8_scales(scales_path, inferencer.variables)
+                    logger.info("Saved int8 scales to %s", scales_path)
         predictions = {}
         t0 = time.time()
         n_images = 0

@@ -186,3 +186,42 @@ def test_backbone_int8_static_calibrated():
     y_plain2 = np.asarray(jax.jit(bdyn.apply)(params, x2))
     scale2 = np.abs(y_plain2).max() + 1e-6
     assert np.abs(y_stat2 - y_plain2).max() / scale2 < 0.25
+
+
+def test_calibration_accumulates_running_max_and_persists(tmp_path):
+    """Multi-batch calibration (engine/inference.py calibrate): sweeping a
+    second batch takes max(recorded, batch) per layer; save/load_int8_scales
+    round-trips the quant tree exactly."""
+    from odwscl_tpu.models.vgg16 import VGGBackbone
+    from odwscl_tpu.engine.inference import (save_int8_scales,
+                                             load_int8_scales)
+
+    rng = np.random.RandomState(7)
+    x1 = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32) * 3.0)
+    bstat = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.float32,
+                        int8_eval=True, int8_static=True)
+    params = jax.jit(bstat.init)(jax.random.PRNGKey(0), x1)
+    cal = jax.jit(lambda v, x: bstat.apply(
+        v, x, fast_eval=True, calibrate=True, mutable=["quant"]))
+
+    _, q1 = cal(params, x1)
+    _, q12 = cal({**params, **q1}, x2)          # second sweep, carried quant
+    _, q2 = cal(params, x2)
+    l1 = jax.tree_util.tree_leaves(q1["quant"])
+    l2 = jax.tree_util.tree_leaves(q2["quant"])
+    l12 = jax.tree_util.tree_leaves(q12["quant"])
+    for a, b, m in zip(l1, l2, l12):
+        np.testing.assert_allclose(float(m), max(float(a), float(b)),
+                                   rtol=1e-6)
+    assert any(float(m) > float(a) for a, m in zip(l1, l12))
+
+    path = str(tmp_path / "int8_scales.npz")
+    save_int8_scales(path, q12)
+    loaded = load_int8_scales(path)
+    fa, ta = jax.tree_util.tree_flatten_with_path(q12["quant"])
+    fb, tb = jax.tree_util.tree_flatten_with_path(loaded["quant"])
+    assert ta == tb
+    for (pa, va), (pb, vb) in zip(fa, fb):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--train-shape", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--p", type=int, default=2048)
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the int8 serving variants per segment")
     ap.add_argument("--layers", action="store_true",
                     help="also time truncated conv stacks per layer")
     args = ap.parse_args()
@@ -83,6 +85,16 @@ def main():
                    lambda a, acc: (a[0], a[1] + (acc * 1e-30).astype(a[1].dtype)),
                    (bb_params, images), args.iters)
     feats = jax.jit(backbone.apply)(bb_params, images)
+    if args.int8:
+        bb8 = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.bfloat16,
+                          int8_eval=True, int8_static=True)
+        _, quant = jax.jit(lambda pr, x: bb8.apply(
+            pr, x, fast_eval=True, calibrate=True,
+            mutable=["quant"]))(bb_params, images)
+        v8 = {**bb_params, **quant}
+        t8 = chain_time(lambda pr, x: bb8.apply(pr, x, fast_eval=True),
+                        lambda a, acc: (a[0], a[1] + (acc * 1e-30).astype(
+                            a[1].dtype)), (v8, images), args.iters)
     fh, fw, fc = feats.shape[1:]
     # conv flops at this shape
     px = h * w
@@ -91,6 +103,8 @@ def main():
         + (px//64)*9*2*(256*512 + 2*512*512 + 3*512*512)
     print(f"backbone    : {t*1e3:7.2f} ms  ({b*fl/t/1e12:.0f} TF/s eff, "
           f"{b*fl/1e12:.2f} TF/batch)")
+    if args.int8:
+        print(f"backbone i8 : {t8*1e3:7.2f} ms  ({b*fl/t8/1e12:.0f} TOP/s eff)")
 
     if rp.pallas_pool_feasible(fh, fw, fc):
         t = chain_time(
@@ -109,6 +123,13 @@ def main():
                        a[1].dtype)), (nk_params, flat), args.iters)
     gf = b * p * (7 * 7 * fc * 4096 + 4096 * 4096) * 2 / 1e12
     print(f"neck fc6/fc7: {t*1e3:7.2f} ms  ({gf/t:.0f} TF/s)")
+    if args.int8:
+        neck8 = VGGRoINeck(hidden_dim=4096, compute_dtype=jnp.bfloat16,
+                           int8_eval=True)
+        t8 = chain_time(lambda pr, x: neck8.apply(pr, x, train=False),
+                        lambda a, acc: (a[0], a[1] + (acc * 1e-30).astype(
+                            a[1].dtype)), (nk_params, flat), args.iters)
+        print(f"neck int8   : {t8*1e3:7.2f} ms  ({gf/t8:.0f} TOP/s)")
 
     roi_feats = jax.jit(
         lambda pr, x: neck.apply(pr, x, train=False))(nk_params, flat)

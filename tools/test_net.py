@@ -21,6 +21,11 @@ def main():
     parser.add_argument("--task", default="det", choices=["det", "corloc"])
     parser.add_argument("--vis", action="store_true")
     parser.add_argument("--data-root", default="datasets")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 static-calibrated serving: quantized "
+                        "convs + fc6/fc7 with scales calibrated on "
+                        "TPU.INT8_CALIB_BATCHES eval batches and persisted "
+                        "to OUTPUT_DIR/int8_scales.npz (README recipe)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
 
@@ -37,6 +42,10 @@ def main():
         cfg.merge_from_file(args.config_file)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    if args.int8:
+        cfg.merge_from_list(["TPU.INT8_EVAL", "True",
+                             "TPU.INT8_EVAL_CONVS", "True",
+                             "TPU.INT8_STATIC", "True"])
     cfg.freeze()
 
     save_dir = os.path.join(cfg.OUTPUT_DIR, "inference")

@@ -67,28 +67,6 @@ class _ShiftedInputConv(nn.Module):
                 + bias.astype(self.compute_dtype))
 
 
-class _WinoConv(nn.Module):
-    """3x3 SAME conv via Winograd F(4,3) (ops/winograd.py) — 4x fewer MXU
-    FLOPs than direct conv. Param names/shapes match nn.Conv exactly so
-    checkpoints and the torch weight importer are unaffected."""
-
-    features: int
-    dilation: int = 1
-    compute_dtype: jnp.dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
-        kernel = self.param("kernel", _KAIMING_OUT, (3, 3, cin, self.features),
-                            jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32)
-        from odwscl_tpu.ops import winograd
-        fn = (winograd.winograd_conv3x3_d2 if self.dilation == 2
-              else winograd.winograd_conv3x3)
-        return fn(x, kernel, bias, self.compute_dtype)
-
-
 class _ConvKB(nn.Module):
     """nn.Conv-shaped (kernel, bias) params without applying them — the
     int8 eval conv path consumes them directly. Param tree matches nn.Conv
@@ -106,18 +84,10 @@ class _ConvKB(nn.Module):
 
 
 class VGGBackbone(nn.Module):
-    """Returns stride-8 (OICR variant) NHWC features [B, H/8, W/8, 512].
-
-    conv_impl: "direct" uses XLA convs everywhere; "winograd" lowers the
-    >=wino_min_ch stride-1 3x3 convs through Winograd F(4,3) (the 256/512
-    channel blocks run at MXU peak under XLA, so only a FLOP reduction
-    raises throughput further). Param trees are identical across impls.
-    """
+    """Returns stride-8 (OICR variant) NHWC features [B, H/8, W/8, 512]."""
 
     arch: str = "VGG16-OICR"
     compute_dtype: jnp.dtype = jnp.bfloat16
-    conv_impl: str = "direct"
-    wino_min_ch: int = 256
     # RGB stem: nn.Conv beats the round-2 shifted-stack GEMM by ~19 ms at
     # the bench shape (the [B,H,W,27] stack is HBM-bound); measured
     # tools/bench_backbone.py r3: 78.3 vs 59.0 ms/batch
@@ -170,8 +140,6 @@ class VGGBackbone(nn.Module):
                     ch, dilation, pad = int(v.split("-")[0]), 2, 2
                 else:
                     ch, dilation, pad = int(v), 1, 1
-                wino = (self.conv_impl == "winograd"
-                        and min(ch, x.shape[-1]) >= self.wino_min_ch)
                 wino_p = False
                 if fast_eval and self.wino_eval:
                     from odwscl_tpu.ops.winograd_pallas import (
@@ -215,9 +183,6 @@ class VGGBackbone(nn.Module):
                     # RGB stem: shifted-stack GEMM (same params as nn.Conv)
                     x = _ShiftedInputConv(ch, self.compute_dtype,
                                           name=f"conv{conv_idx}")(x)
-                elif wino:
-                    x = _WinoConv(ch, dilation, self.compute_dtype,
-                                  name=f"conv{conv_idx}")(x)
                 else:
                     x = nn.Conv(ch, (3, 3), padding=[(pad, pad), (pad, pad)],
                                 kernel_dilation=(dilation, dilation),

@@ -1,11 +1,21 @@
-"""Winograd F(4x4, 3x3) convolution for stride-1 3x3 convs (TPU eval path).
+"""Winograd F(4x4, 3x3) transform constants + XLA reference implementation.
 
-The VGG16-OICR backbone (models/vgg16.py) is the eval-throughput wall: its
-3x3 convs are ~7 TF/batch at the bench shape and XLA's direct conv runs
-them at ~90 TF/s — already near the measured 126 TF/s matmul peak, so the
-only remaining lever is doing fewer FLOPs. Winograd F(4,3) computes each
-4x4 output tile with 36 multiplies instead of 144 (4x fewer MXU FLOPs);
-the input/output transforms are cheap VPU add/mul chains.
+STATUS (round 4, VERDICT r3 task 8 — trimmed): Winograd LOST to the
+shipped alternatives on this hardware and is NOT on any product path.
+Measured (tools/bench_wino.py, v5e, chained timing): the fused Pallas
+kernel (ops/winograd_pallas.py) ran 0.3-0.7x of XLA's direct bf16 conv
+(host view prep + transform VMEM traffic ate the 4x FLOP cut) and the
+round-3 "v2" phase-layout XLA variant 0.15-0.29x (XLA does not fuse the
+transform chains) — the v2 variant is deleted; NOTES.md records the
+numbers. The round-4 conv-rate win is int8 instead (ops/quant.py
+conv2d_int8: XLA int8 conv at 1.2-1.55x bf16 with a calibrated accuracy
+story). This module keeps the F(4,3) transform matrices and the
+straightforward XLA implementation solely as the ORACLE for
+tests/test_winograd*.py and the off-by-default Pallas kernel seed.
+
+Math background: Winograd F(4,3) computes each 4x4 output tile with 36
+multiplies instead of 144 (4x fewer MXU FLOPs); the input/output
+transforms are cheap VPU add/mul chains.
 
 Math (Lavin & Gray, arXiv:1509.09308): Y = A^T [ (G g G^T) .* (B^T d B) ] A
 per 6x6 input tile d (stride 4, pad 1). The elementwise product over
@@ -189,93 +199,3 @@ def winograd_conv3x3_d2(x: jnp.ndarray, kernel: jnp.ndarray,
         y = (y.astype(jnp.float32) + bias.astype(jnp.float32))
     return y.astype(compute_dtype)
 
-
-# ---------------------------------------------------------------------------
-# v2: phase-decomposed layout (no strided slices, bf16 V/M, fused chains)
-# ---------------------------------------------------------------------------
-
-def _phase_views(x: jnp.ndarray, trp: int, txp: int):
-    """Pad + reshape so every 6x6 tile-input offset is a contiguous slice.
-
-    Returns xr [B, trp+1, 4, txp+1, 4, C] where tile (t, j)'s input element
-    (r, w) (r, w in 0..5) is xr[:, t + (r+2)//4, (r+2)%4,
-    j + (w+2)//4, (w+2)%4, :]: a 3-left/top pad makes offset -1 (the SAME
-    pad) land at phase 2 of group 0, so both shifts s in {0, 1} are plain
-    slices along the group dims.
-    """
-    b, h, w, c = x.shape
-    hq, wq = 4 * (trp + 1), 4 * (txp + 1)
-    xq = jnp.pad(x, ((0, 0), (3, hq - h - 3), (3, wq - w - 3), (0, 0)))
-    return xq.reshape(b, trp + 1, 4, txp + 1, 4, c)
-
-
-def winograd_conv3x3_v2(x: jnp.ndarray, kernel: jnp.ndarray,
-                        bias: jnp.ndarray | None = None,
-                        compute_dtype=jnp.bfloat16,
-                        u: jnp.ndarray | None = None) -> jnp.ndarray:
-    """SAME stride-1 3x3 conv, Winograd F(4,3), TPU-layout-aware.
-
-    Same math/precision contract as winograd_conv3x3; reformulated so XLA
-    fuses each transform into one elementwise pass: the input is
-    phase-reshaped (every tile offset = contiguous slice), V and M live in
-    bf16 (the GEMM accumulates f32 internally), and the output transform
-    emits the [B,TR,4,txp,4,C] phase layout reshaped back in one step.
-    """
-    b, h, w, cin = x.shape
-    trp, txp = -(-h // 4), -(-w // 4)
-    if u is None:
-        u = transform_kernel(kernel)
-    cout = u.shape[-1]
-    xr = _phase_views(x, trp, txp).astype(jnp.float32)
-
-    def view(r, wo):
-        pr, sr = (r + 2) % 4, (r + 2) // 4
-        pc, sc = (wo + 2) % 4, (wo + 2) // 4
-        return xr[:, sr:sr + trp, pr, sc:sc + txp, pc, :]
-
-    bt = [[float(c) for c in row] for row in _BT]
-    # t1[r][v] = sum_w BT[v,w] d[r,w]; V[u,v] = sum_r BT[u,r] t1[r][v]
-    t1 = [[sum(bt[v][wo] * view(r, wo) for wo in range(6) if bt[v][wo])
-           for v in range(6)] for r in range(6)]
-    vs = [sum(bt[uu][r] * t1[r][v] for r in range(6) if bt[uu][r])
-          for uu in range(6) for v in range(6)]
-    vmat = jnp.stack(vs, 0).reshape(36, b * trp * txp, cin)
-    vmat = vmat.astype(compute_dtype)
-    m = jax.lax.dot_general(
-        vmat, u.astype(compute_dtype),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=compute_dtype)          # [36, N, Cout] bf16
-    m = m.reshape(6, 6, b, trp, txp, cout).astype(jnp.float32)
-
-    at = [[float(c) for c in row] for row in _AT]
-    z = [[sum(at[q][uu] * m[uu, v] for uu in range(6) if at[q][uu])
-          for v in range(6)] for q in range(4)]
-    rows = []
-    for q in range(4):
-        cols = [sum(at[r][v] * z[q][v] for v in range(6) if at[r][v])
-                for r in range(4)]
-        rows.append(jnp.stack(cols, axis=3))            # [B,TR,txp,4,C]
-    y = jnp.stack(rows, axis=2)                         # [B,TR,4,txp,4,C]
-    y = y.reshape(b, 4 * trp, 4 * txp, cout)[:, :h, :w, :]
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(compute_dtype)
-
-
-def winograd_conv3x3_d2_v2(x, kernel, bias=None, compute_dtype=jnp.bfloat16,
-                           u=None):
-    """Dilation-2 via the 4-phase parity decomposition, v2 core, phases
-    folded into the batch dim."""
-    b, h, w, cin = x.shape
-    assert h % 2 == 0 and w % 2 == 0, (h, w)
-    cout = kernel.shape[-1]
-    if u is None:
-        u = transform_kernel(kernel)
-    xr = x.reshape(b, h // 2, 2, w // 2, 2, cin)
-    xp = xr.transpose(0, 2, 4, 1, 3, 5).reshape(4 * b, h // 2, w // 2, cin)
-    yp = winograd_conv3x3_v2(xp, kernel, None, compute_dtype, u=u)
-    yr = yp.reshape(b, 2, 2, h // 2, w // 2, cout)
-    y = yr.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, cout)
-    if bias is not None:
-        y = (y.astype(jnp.float32) + bias.astype(jnp.float32))
-    return y.astype(compute_dtype)

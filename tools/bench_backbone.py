@@ -47,18 +47,20 @@ def main():
 
     ref = None
     variants = [
-        ("direct + gemm-stem (current)", dict()),
-        ("direct + nn.Conv stem", dict(stem_gemm=False)),
-        ("winograd>=256 + gemm-stem", dict(conv_impl="winograd")),
-        ("winograd>=128 + gemm-stem", dict(conv_impl="winograd",
-                                           wino_min_ch=128)),
-        ("winograd>=64 + gemm-stem", dict(conv_impl="winograd",
-                                          wino_min_ch=64)),
+        # (the conv_impl="winograd" XLA variants measured 0.15-0.29x of
+        # direct and were deleted in round 4 — NOTES.md)
+        ("direct + nn.Conv stem (current)", dict()),
+        ("direct + gemm-stem", dict(stem_gemm=True)),
+        ("int8 convs (serving)", dict(int8_eval=True)),
     ]
     for tag, kw in variants:
         m = VGGBackbone(**kw)
-        t = chain_time(lambda pr, xx, m=m: m.apply(pr, xx), params, images)
-        out = jax.jit(lambda pr, xx, m=m: m.apply(pr, xx))(params, images)
+        fe = bool(kw.get("int8_eval"))
+        t = chain_time(lambda pr, xx, m=m, fe=fe: m.apply(pr, xx,
+                                                          fast_eval=fe),
+                       params, images)
+        out = jax.jit(lambda pr, xx, m=m, fe=fe: m.apply(
+            pr, xx, fast_eval=fe))(params, images)
         outf = np.asarray(out[:1, :16].astype(jnp.float32))
         if ref is None:
             ref = outf

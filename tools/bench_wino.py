@@ -93,18 +93,12 @@ def main():
         err = float(jnp.max(jnp.abs(y_w.astype(jnp.float32) - ref))) / scale
         print(f"  rel err vs direct bf16: {err:.4f}", flush=True)
 
-        from odwscl_tpu.ops import winograd as wg
-        v2fn = (wg.winograd_conv3x3_d2_v2 if dil == 2
-                else wg.winograd_conv3x3_v2)
-        y_v2 = jax.jit(lambda xx: v2fn(xx, k, bias))(x)
-        err2 = float(jnp.max(jnp.abs(y_v2.astype(jnp.float32) - ref))) / scale
-        print(f"  v2 rel err vs direct bf16: {err2:.4f}", flush=True)
-
+        # (the r3 "v2" phase-layout XLA variant measured 0.15-0.29x of
+        # direct and was deleted in round 4 — NOTES.md)
         t_w = chain(lambda xx: wfn(xx, k, bias, ty=args.ty), (x,))
-        t_2 = chain(lambda xx: v2fn(xx, k, bias), (x,))
         t_d = chain(lambda xx: direct(xx, k, bias, dil), (x,))
-        print(f"  pallas {t_w*1e3:7.2f} ms | v2-xla {t_2*1e3:7.2f} ms | "
-              f"direct {t_d*1e3:7.2f} ms | v2 speedup {t_d/t_2:.2f}x",
+        print(f"  pallas {t_w*1e3:7.2f} ms | "
+              f"direct {t_d*1e3:7.2f} ms | speedup {t_d/t_w:.2f}x",
               flush=True)
 
 

@@ -234,13 +234,22 @@ def stage_b(boxes: jnp.ndarray, box_mask: jnp.ndarray, labels_fg: jnp.ndarray,
 
 
 def assemble_bank(a: StageAResult, sb: StageBResult, z_clean: jnp.ndarray,
-                  z_drop_slots: jnp.ndarray, z_noise_slots: jnp.ndarray
+                  z_drop_slots: jnp.ndarray, z_noise_slots: jnp.ndarray,
+                  z_a_clean: jnp.ndarray | None = None,
+                  z_b_clean: jnp.ndarray | None = None,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Flatten the banks for SupCon: (features [E,D], labels [E], hardness [E],
     valid [E]) with E = 3*capA + capB. Entry order mirrors the reference's
-    append order semantics (order is irrelevant to the loss value)."""
-    z_a_clean = z_clean[jnp.clip(a.slot_b, 0), a.slot_p]
-    z_b_clean = z_clean[jnp.clip(sb.slot_b, 0), sb.slot_p]
+    append order semantics (order is irrelevant to the loss value).
+
+    z_a_clean / z_b_clean optionally supply the clean-path bank entries
+    pre-gathered (the detector recomputes them differentiably on the mined
+    rows so the all-roi clean pass can run gradient-free, detector.py
+    train_forward); when omitted they are gathered from z_clean."""
+    if z_a_clean is None:
+        z_a_clean = z_clean[jnp.clip(a.slot_b, 0), a.slot_p]
+    if z_b_clean is None:
+        z_b_clean = z_clean[jnp.clip(sb.slot_b, 0), sb.slot_p]
     feats = jnp.concatenate([z_a_clean, z_drop_slots, z_noise_slots, z_b_clean])
 
     h_a = a.hardness[jnp.clip(a.slot_b, 0), a.slot_c, a.slot_p]

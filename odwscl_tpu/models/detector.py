@@ -198,9 +198,14 @@ class WSODDetector(nn.Module):
         return roi_align(feats, boxes, mask, self.pooler_scale,
                          self.pooler_resolution, self.pooler_sampling)
 
-    def _neck_flat(self, pooled: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """pooled [N, r, r, C] -> [N, D]."""
-        return self.neck(pooled, train=train)
+    def _neck_flat(self, pooled: jnp.ndarray, train: bool,
+                   row_ids: jnp.ndarray | None = None,
+                   row_key: jnp.ndarray | None = None) -> jnp.ndarray:
+        """pooled [N, r, r, C] -> [N, D]. ``(row_ids, row_key)`` selects
+        per-row-seeded dropout (vgg16.py VGGRoINeck) so a gathered-row
+        recompute reproduces the all-roi pass bit-for-bit."""
+        return self.neck(pooled, train=train, row_ids=row_ids,
+                         row_key=row_key)
 
     # -- eval -----------------------------------------------------------------
     def __call__(self, batch: Batch, train: bool = False,
@@ -326,8 +331,25 @@ class WSODDetector(nn.Module):
         b, p = pooled.shape[:2]
         flat_pooled = pooled.reshape(b * p, *pooled.shape[2:])
 
-        clean = self._neck_flat(flat_pooled, train=True).reshape(b, p, -1)
-        z_clean = self.sim_net(clean.reshape(b * p, -1)).reshape(b, p, -1)
+        z_clean = None
+        clean_row_key = None
+        if self.contra:
+            # All-roi clean pass = MINING VIEW ONLY (stop_gradient): the
+            # loss touches the clean neck solely through the <= capA+capB
+            # mined bank rows, which are recomputed differentiably after
+            # stage_b with bit-identical per-row dropout masks (row_key is
+            # drawn once and shared), so the full-size fc6/fc7 backward is
+            # never built. Gradients are exactly those of the naive
+            # all-roi differentiable pass (up to GEMM tiling ulps).
+            # Reference semantics preserved: mining and loss read the SAME
+            # dropout realization (weak_head.py computes one clean pass).
+            clean_row_key = self.make_rng("dropout")
+            row_ids = jnp.arange(b * p, dtype=jnp.int32)
+            clean_ng = jax.lax.stop_gradient(self._neck_flat(
+                flat_pooled, train=True, row_ids=row_ids,
+                row_key=clean_row_key))
+            z_clean = jax.lax.stop_gradient(
+                self.sim_net(clean_ng)).reshape(b, p, -1)
 
         # augmented predictor input (go_through_cdb, weak_head.py:87-99)
         if self.db_method == "dropblock":
@@ -376,12 +398,25 @@ class WSODDetector(nn.Module):
             sb = stage_b(boxes, mask, labels_fg,
                          jax.lax.stop_gradient(final),
                          jax.lax.stop_gradient(ref_softmax),
-                         jax.lax.stop_gradient(z_clean),
+                         z_clean,
                          jax.lax.stop_gradient(z_drop),
                          jax.lax.stop_gradient(z_noise),
                          a, self.mining_nms, self.cap_b)
+            # differentiable recompute of the clean neck + sim head on the
+            # mined bank rows only (same row_key -> identical dropout masks
+            # as the stop_gradient'd all-roi pass above)
+            rows_a = (jnp.clip(a.slot_b, 0) * p + a.slot_p).astype(jnp.int32)
+            rows_b = (jnp.clip(sb.slot_b, 0) * p
+                      + sb.slot_p).astype(jnp.int32)
+            rows = jnp.concatenate([rows_a, rows_b])
+            bank_clean = self._neck_flat(flat_pooled[rows], train=True,
+                                         row_ids=rows,
+                                         row_key=clean_row_key)
+            z_bank = self.sim_net(bank_clean)
             feats_e, labels_e, hard_e, valid_e = assemble_bank(
-                a, sb, z_clean, z_drop, z_noise)
+                a, sb, z_clean, z_drop, z_noise,
+                z_a_clean=z_bank[:rows_a.shape[0]],
+                z_b_clean=z_bank[rows_a.shape[0]:])
             if self.loss_type == "supconv2":
                 sim = supcon_v2_loss(feats_e, labels_e, hard_e, valid_e,
                                      self.temperature)

@@ -173,16 +173,30 @@ class ResNetRoINeck(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 row_ids: jnp.ndarray | None = None,
+                 row_key: jnp.ndarray | None = None) -> jnp.ndarray:
+        # (row_ids, row_key): per-row-seeded dropout, same contract as
+        # VGGRoINeck (the detector's gradient-free clean pass + bank-row
+        # recompute)
+        import jax as _jax
         x = x.reshape(x.shape[0], -1).astype(self.compute_dtype)
-        x = nn.Dense(self.mid_dim, dtype=self.compute_dtype,
-                     param_dtype=jnp.float32,
-                     kernel_init=nn.initializers.normal(0.01), name="fc6")(x)
-        x = nn.relu(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.out_dim, dtype=self.compute_dtype,
-                     param_dtype=jnp.float32,
-                     kernel_init=nn.initializers.normal(0.01), name="fc7")(x)
-        x = nn.relu(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        for li, (dim, name) in enumerate(((self.mid_dim, "fc6"),
+                                          (self.out_dim, "fc7"))):
+            x = nn.Dense(dim, dtype=self.compute_dtype,
+                         param_dtype=jnp.float32,
+                         kernel_init=nn.initializers.normal(0.01),
+                         name=name)(x)
+            x = nn.relu(x)
+            if row_ids is None:
+                x = nn.Dropout(self.dropout_rate,
+                               deterministic=not train)(x)
+            elif train and self.dropout_rate > 0.0:
+                key = _jax.random.fold_in(row_key, li)
+                keep = _jax.vmap(
+                    lambda r: _jax.random.bernoulli(
+                        _jax.random.fold_in(key, r),
+                        1.0 - self.dropout_rate, (dim,)))(row_ids)
+                x = jnp.where(keep, x / (1.0 - self.dropout_rate),
+                              0.0).astype(self.compute_dtype)
         return x

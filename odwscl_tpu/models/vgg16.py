@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -226,6 +227,15 @@ class VGGRoINeck(nn.Module):
 
     int8_eval: quantized serving path (ops/quant.py) for the eval-mode
     matmuls — int8 MXU at 2x the bf16 rate; training always runs bf16.
+
+    (row_ids, row_key): per-row-SEEDED dropout (mask for row i derived
+    from fold_in(fold_in(row_key, layer), row_ids[i])), which makes the
+    mask a pure function of (key, row identity) instead of the row's
+    position in the batch. The detector's contra train path derives
+    row_key ONCE and uses it to run the all-roi clean pass gradient-free,
+    then recompute ONLY the mined bank rows differentiably with
+    bit-identical dropout masks (detector.py train_forward) — the
+    full-size fc6/fc7 backward disappears.
     """
 
     hidden_dim: int = 4096
@@ -234,9 +244,11 @@ class VGGRoINeck(nn.Module):
     int8_eval: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 row_ids: jnp.ndarray | None = None,
+                 row_key: jnp.ndarray | None = None) -> jnp.ndarray:
         x = x.reshape(x.shape[0], -1).astype(self.compute_dtype)
-        for name in ("fc6", "fc7"):
+        for li, name in enumerate(("fc6", "fc7")):
             k, b = _DenseKB(self.hidden_dim, name=name)(x.shape[-1])
             if self.int8_eval and not train:
                 from odwscl_tpu.ops.quant import dense_int8
@@ -245,5 +257,16 @@ class VGGRoINeck(nn.Module):
                 x = (x @ k.astype(self.compute_dtype)
                      + b.astype(self.compute_dtype))
             x = nn.relu(x)
-            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            if row_ids is None:
+                x = nn.Dropout(self.dropout_rate,
+                               deterministic=not train)(x)
+            elif train and self.dropout_rate > 0.0:
+                key = jax.random.fold_in(row_key, li)
+                keep = jax.vmap(
+                    lambda r: jax.random.bernoulli(
+                        jax.random.fold_in(key, r),
+                        1.0 - self.dropout_rate,
+                        (self.hidden_dim,)))(row_ids)
+                x = jnp.where(keep, x / (1.0 - self.dropout_rate),
+                              0.0).astype(self.compute_dtype)
         return x

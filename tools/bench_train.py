@@ -10,7 +10,11 @@ Round-1 baseline: ~1530 ms/step at this shape (XLA RoIPool VJP ~1050 ms).
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 

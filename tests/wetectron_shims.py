@@ -81,6 +81,18 @@ def install():
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
 
+    # pycocotools (absent in this env) — only imported at module top of
+    # structures/segmentation_mask.py; the geometry ops under test never
+    # call it, so attribute stubs that fail loudly are enough
+    def _absent(*a, **k):
+        raise RuntimeError("pycocotools is not available in this "
+                           "environment (wetectron_shims stub)")
+    pct = _fake_module("pycocotools")
+    pct.__path__ = []
+    pct_mask = _fake_module("pycocotools.mask", frPyObjects=_absent,
+                            merge=_absent, decode=_absent, encode=_absent)
+    pct.mask = pct_mask
+
     # torchvision
     tv = _fake_module("torchvision")
     tv.__path__ = []

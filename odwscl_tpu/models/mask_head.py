@@ -1,0 +1,259 @@
+"""Mask R-CNN mask head: conv tower + deconv predictor + loss + Masker.
+
+Parity target: wetectron/modeling/roi_heads/mask_head/ (~550 LoC —
+mask_head.py, roi_mask_feature_extractors.py, roi_mask_predictors.py,
+loss.py, inference.py). Dead in every shipped WSOD config
+(roi_heads.py:68 returns the weak head first); ported for framework
+completeness with the reference's exact module shapes and loss protocol.
+
+TPU-first redesign:
+- batched/masked everywhere: proposals are padded [B, P, 4] + validity
+  mask, gt instances padded [B, G]; positives become weights, not index
+  tensors — static shapes, jittable end to end.
+- mask-target projection (ref loss.py:11-42 project_masks_on_boxes — a
+  per-instance host polygon crop/resize chain the reference itself flags
+  as a CPU bottleneck) becomes ONE rasterization per gt instance in the
+  data pipeline (structures/masks.py) + a batched bilinear crop-resize
+  gather on device (`crop_resize_bitmasks`), align_corners=False like the
+  reference's BinaryMaskList.resize.
+- Masker / paste_mask_in_image (ref inference.py:91-200) is host-side
+  eval post-processing -> numpy + cv2, semantics preserved (padding=1
+  expansion, bilinear paste, 0.5 threshold, TO_REMOVE=1 box width).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .matcher import match_proposals
+from ..structures.boxes import masked_iou
+
+_KAIMING_OUT = nn.initializers.variance_scaling(2.0, "fan_out",
+                                                "truncated_normal")
+
+
+class MaskFeatureExtractor(nn.Module):
+    """MaskRCNNFPNFeatureExtractor's conv tower
+    (roi_mask_feature_extractors.py:17-66): N conv3x3+ReLU layers over
+    pooled RoI features [N, r, r, C]."""
+
+    conv_layers: tuple = (256, 256, 256, 256)
+    dilation: int = 1
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.compute_dtype)
+        d = self.dilation
+        for i, ch in enumerate(self.conv_layers, 1):
+            x = nn.Conv(ch, (3, 3), padding=[(d, d), (d, d)],
+                        kernel_dilation=(d, d), dtype=self.compute_dtype,
+                        param_dtype=jnp.float32, kernel_init=_KAIMING_OUT,
+                        name=f"mask_fcn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class MaskPredictor(nn.Module):
+    """MaskRCNNC4Predictor (roi_mask_predictors.py:11-31): 2x deconv +
+    ReLU + 1x1 per-class logits -> [N, 2r, 2r, num_classes]."""
+
+    num_classes: int
+    dim_reduced: int = 256
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.ConvTranspose(self.dim_reduced, (2, 2), strides=(2, 2),
+                             dtype=self.compute_dtype,
+                             param_dtype=jnp.float32,
+                             kernel_init=_KAIMING_OUT,
+                             name="conv5_mask")(x.astype(self.compute_dtype))
+        x = nn.relu(x)
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.compute_dtype,
+                    param_dtype=jnp.float32, kernel_init=_KAIMING_OUT,
+                    name="mask_fcn_logits")(x)
+        return x.astype(jnp.float32)
+
+
+class MaskConv1x1Predictor(nn.Module):
+    """MaskRCNNConv1x1Predictor (roi_mask_predictors.py:34-52): 1x1
+    per-class logits at the input resolution."""
+
+    num_classes: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.compute_dtype,
+                    param_dtype=jnp.float32, kernel_init=_KAIMING_OUT,
+                    name="mask_fcn_logits")(x.astype(self.compute_dtype))
+        return x.astype(jnp.float32)
+
+
+class MaskHead(nn.Module):
+    """extractor + predictor over pooled features (ROIMaskHead's compute;
+    pooling/matching live in the caller so the module stays a pure
+    [N, r, r, C] -> [N, M, M, num_classes] map)."""
+
+    num_classes: int
+    conv_layers: tuple = (256, 256, 256, 256)
+    dilation: int = 1
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray) -> jnp.ndarray:
+        x = MaskFeatureExtractor(self.conv_layers, self.dilation,
+                                 self.compute_dtype, name="extractor")(pooled)
+        return MaskPredictor(self.num_classes, self.conv_layers[-1],
+                             self.compute_dtype, name="predictor")(x)
+
+
+def crop_resize_bitmasks(bitmasks: jnp.ndarray, gt_idx: jnp.ndarray,
+                         boxes: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Batched mask-target projection: bitmasks [G, H, W] float,
+    gt_idx [N] int (matched instance per roi), boxes [N, 4] xyxy ->
+    [N, m, m] in [0, 1].
+
+    Bilinear, align_corners=False (the BinaryMaskList.resize convention):
+    target cell (i, j) samples the source at
+    y = y1 + (i + .5) * (y2 - y1)/m - .5 (same for x), with edge clamping.
+    The crop box is clamped like the reference's crop (masks.py
+    _clip_crop_box) before sampling.
+    """
+    h, w = bitmasks.shape[1], bitmasks.shape[2]
+    x1 = jnp.clip(boxes[:, 0], 0, w - 1)
+    y1 = jnp.clip(boxes[:, 1], 0, h - 1)
+    x2 = jnp.maximum(jnp.clip(boxes[:, 2], 0, w), x1 + 1)
+    y2 = jnp.maximum(jnp.clip(boxes[:, 3], 0, h), y1 + 1)
+
+    def one(gi, a1, b1, a2, b2):
+        src = bitmasks[jnp.clip(gi, 0)]
+        ys = b1 + (jnp.arange(m) + 0.5) * (b2 - b1) / m - 0.5
+        xs = a1 + (jnp.arange(m) + 0.5) * (a2 - a1) / m - 0.5
+        y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+        x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+        fy = jnp.clip(ys - y0, 0.0, 1.0)
+        fx = jnp.clip(xs - x0, 0.0, 1.0)
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, h - 1)
+        x1i = jnp.minimum(x0i + 1, w - 1)
+        v00 = src[y0i[:, None], x0i[None, :]]
+        v01 = src[y0i[:, None], x1i[None, :]]
+        v10 = src[y1i[:, None], x0i[None, :]]
+        v11 = src[y1i[:, None], x1i[None, :]]
+        top = v00 * (1 - fx)[None, :] + v01 * fx[None, :]
+        bot = v10 * (1 - fx)[None, :] + v11 * fx[None, :]
+        return top * (1 - fy)[:, None] + bot * fy[:, None]
+
+    return jax.vmap(one)(gt_idx, x1, y1, x2, y2)
+
+
+def mask_rcnn_loss(mask_logits: jnp.ndarray, labels: jnp.ndarray,
+                   mask_targets: jnp.ndarray,
+                   pos_weights: jnp.ndarray) -> jnp.ndarray:
+    """BCE-with-logits at each positive roi's label channel, averaged over
+    positive rois' pixels (ref loss.py:101-127; F.binary_cross_entropy_
+    with_logits default mean). Batched/masked: negatives/pads carry
+    pos_weights 0 and a sum/clip replaces the reference's empty-tensor
+    special case (`mask_logits.sum() * 0`).
+
+    mask_logits [N, M, M, C] f32; labels [N] int (0 = bg);
+    mask_targets [N, M, M] in [0,1]; pos_weights [N] {0,1} float.
+    """
+    n = mask_logits.shape[0]
+    lg = mask_logits[jnp.arange(n), :, :, jnp.clip(labels, 0)]
+    per_pix = (jnp.maximum(lg, 0) - lg * mask_targets
+               + jnp.log1p(jnp.exp(-jnp.abs(lg))))
+    per_roi = per_pix.sum(axis=(1, 2))
+    denom = jnp.maximum(pos_weights.sum() * lg.shape[1] * lg.shape[2], 1.0)
+    return (per_roi * pos_weights).sum() / denom
+
+
+def mask_head_targets(proposals: jnp.ndarray, prop_mask: jnp.ndarray,
+                      gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                      gt_mask: jnp.ndarray, gt_bitmasks: jnp.ndarray,
+                      m: int, fg_iou: float, bg_iou: float):
+    """Per-image target prep (ref loss.py prepare_targets, batched):
+    proposals [P, 4] + prop_mask [P]; gt_boxes [G, 4], gt_labels [G],
+    gt_mask [G], gt_bitmasks [G, H, W]. Returns (labels [P], targets
+    [P, m, m], pos_weights [P])."""
+    iou = masked_iou(gt_boxes, gt_mask, proposals, prop_mask)   # [G, P]
+    matched = match_proposals(iou, gt_mask, fg_iou, bg_iou)     # [P]
+    labels = jnp.where(matched >= 0,
+                       gt_labels[jnp.clip(matched, 0)], 0)
+    labels = jnp.where(prop_mask, labels, 0).astype(jnp.int32)
+    pos = (labels > 0) & prop_mask
+    targets = crop_resize_bitmasks(gt_bitmasks, jnp.clip(matched, 0),
+                                   proposals, m)
+    targets = jnp.where(pos[:, None, None], targets, 0.0)
+    return labels, targets, pos.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# inference: MaskPostProcessor + Masker (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def select_class_masks(mask_probs: np.ndarray,
+                       labels: np.ndarray) -> np.ndarray:
+    """MaskPostProcessor core (inference.py:38-44): pick each roi's
+    predicted-class channel. [N, M, M, C], [N] -> [N, M, M]."""
+    return mask_probs[np.arange(mask_probs.shape[0]), :, :, labels]
+
+
+def _expand_box(box: np.ndarray, scale: float) -> np.ndarray:
+    wh = (box[2:] - box[:2]) * 0.5
+    c = (box[2:] + box[:2]) * 0.5
+    return np.concatenate([c - wh * scale, c + wh * scale])
+
+
+def paste_mask_in_image(mask: np.ndarray, box: np.ndarray, im_h: int,
+                        im_w: int, thresh: float = 0.5,
+                        padding: int = 1) -> np.ndarray:
+    """ref inference.py:119-159, numpy+cv2. mask [M, M] float probs,
+    box xyxy -> bool [im_h, im_w]."""
+    import cv2
+
+    mm = mask.shape[-1]
+    padded = np.zeros((mm + 2 * padding, mm + 2 * padding), np.float32)
+    padded[padding:padding + mm, padding:padding + mm] = mask
+    scale = float(mm + 2 * padding) / mm
+    box = _expand_box(np.asarray(box, np.float32), scale).astype(np.int32)
+
+    w = max(int(box[2] - box[0] + 1), 1)
+    h = max(int(box[3] - box[1] + 1), 1)
+    resized = cv2.resize(padded, (w, h), interpolation=cv2.INTER_LINEAR)
+    bin_mask = resized > thresh
+
+    im_mask = np.zeros((im_h, im_w), bool)
+    x0, x1 = max(box[0], 0), min(box[2] + 1, im_w)
+    y0, y1 = max(box[1], 0), min(box[3] + 1, im_h)
+    if x1 > x0 and y1 > y0:
+        im_mask[y0:y1, x0:x1] = bin_mask[y0 - box[1]:y1 - box[1],
+                                         x0 - box[0]:x1 - box[0]]
+    return im_mask
+
+
+class Masker:
+    """Projects per-roi mask probs into full-image binary masks
+    (ref inference.py:162-200)."""
+
+    def __init__(self, threshold: float = 0.5, padding: int = 1):
+        self.threshold = threshold
+        self.padding = padding
+
+    def __call__(self, masks: np.ndarray, boxes: np.ndarray,
+                 im_h: int, im_w: int) -> np.ndarray:
+        """masks [N, M, M] probs, boxes [N, 4] -> bool [N, im_h, im_w]."""
+        if masks.shape[0] == 0:
+            return np.zeros((0, im_h, im_w), bool)
+        return np.stack([
+            paste_mask_in_image(m, b, im_h, im_w, self.threshold,
+                                self.padding)
+            for m, b in zip(masks, boxes)])

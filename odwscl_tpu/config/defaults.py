@@ -18,6 +18,11 @@ _C.MODEL = CfgNode()
 _C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
 _C.MODEL.WSOD_ON = True
 _C.MODEL.FASTER_RCNN = False
+# fully-supervised aux heads (models/mask_head.py, keypoint_head.py) and
+# the COCO segm eval task (reference defaults.py:26-28). Dead in every
+# WSOD config (roi_heads.py:68 returns the weak head first).
+_C.MODEL.MASK_ON = False
+_C.MODEL.KEYPOINT_ON = False
 _C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
 _C.MODEL.WEIGHT = ""
 

@@ -390,4 +390,8 @@ def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
         return do_corloc_evaluation(dataset, predictions, output_folder)
     if isinstance(dataset, PascalVOCDataset):
         return do_voc_evaluation(dataset, predictions, output_folder)
-    return do_coco_evaluation(dataset, predictions, output_folder)
+    # MASK_ON adds the segm task (reference inference.py:87 iou_types);
+    # predictions must then carry full-image "masks" (mask_head.Masker)
+    iou_types = (("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",))
+    return do_coco_evaluation(dataset, predictions, output_folder,
+                              iou_types=iou_types)

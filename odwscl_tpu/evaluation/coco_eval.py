@@ -3,12 +3,16 @@
 Reference: wetectron/data/datasets/evaluation/coco/coco_eval.py:13-390 —
 predictions are converted to COCO json results (xywh with the +1 width
 convention via BoxList.convert, coco_eval.py prepare_for_coco_detection)
-and scored with pycocotools COCOeval. This module reimplements the bbox
-COCOeval protocol: 10 IoU thresholds .5:.95, 101-point interpolated
-precision, area ranges (all/small/medium/large), maxDets 100, crowd
-handling (IoU = intersection / det area, matches don't count as TP/FP).
-Includes the reference's `check_expected_results` regression assert
-(coco_eval.py:290+, TEST.EXPECTED_RESULTS).
+and scored with pycocotools COCOeval. This module reimplements the
+COCOeval protocol for BOTH iou types: 10 IoU thresholds .5:.95, 101-point
+interpolated precision, area ranges (all/small/medium/large), maxDets
+100, crowd handling (IoU = intersection / det area, matches don't count
+as TP/FP); `iou_types=("bbox","segm")` adds the segmentation task (mask
+IoU on full-image instance masks — the reference's Masker +
+maskUtils.iou path, mask_head/inference.py + coco_eval.py
+prepare_for_coco_segmentation). Includes the reference's
+`check_expected_results` regression assert (coco_eval.py:290+,
+TEST.EXPECTED_RESULTS).
 """
 
 from __future__ import annotations
@@ -46,9 +50,28 @@ def _iou_xyxy(det: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarra
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _match_image(det_boxes, det_scores, gt_boxes, gt_crowd, gt_ignore_area):
+def _mask_iou(det_masks, gt_masks, iscrowd) -> np.ndarray:
+    """[D][H,W] x [G][H,W] bool -> [D,G]; crowd gt uses
+    intersection/det-area (the pycocotools maskUtils.iou convention)."""
+    d, g = len(det_masks), len(gt_masks)
+    out = np.zeros((d, g))
+    areas_d = [int(m.sum()) for m in det_masks]
+    areas_g = [int(m.sum()) for m in gt_masks]
+    for di in range(d):
+        for gi in range(g):
+            inter = int((det_masks[di] & gt_masks[gi]).sum())
+            union = (areas_d[di] if iscrowd[gi]
+                     else areas_d[di] + areas_g[gi] - inter)
+            out[di, gi] = inter / union if union > 0 else 0.0
+    return out
+
+
+def _match_image(det_boxes, det_scores, gt_boxes, gt_crowd, gt_ignore_area,
+                 det_masks=None, gt_masks=None):
     """Greedy COCO matching for one (image, cat). Returns per-threshold
-    (det_matched_gt_ignore, det_matched) flags plus gt count (non-ignored)."""
+    (det_matched_gt_ignore, det_matched) flags plus gt count (non-ignored).
+    When det_masks/gt_masks are given (lists of [H,W] bool), IoU is the
+    segm-task mask IoU (COCOeval iouType='segm')."""
     order = np.argsort(-det_scores, kind="mergesort")[:MAX_DETS]
     det_boxes = det_boxes[order]
     d, g = len(det_boxes), len(gt_boxes)
@@ -58,7 +81,13 @@ def _match_image(det_boxes, det_scores, gt_boxes, gt_crowd, gt_ignore_area):
     gt_boxes = gt_boxes[gt_order]
     gt_ig = gt_ignore[gt_order]
     crowd = gt_crowd[gt_order]
-    ious = _iou_xyxy(det_boxes, gt_boxes, crowd) if d and g else np.zeros((d, g))
+    if not (d and g):
+        ious = np.zeros((d, g))
+    elif det_masks is not None:
+        ious = _mask_iou([det_masks[i] for i in order],
+                         [gt_masks[i] for i in gt_order], crowd)
+    else:
+        ious = _iou_xyxy(det_boxes, gt_boxes, crowd)
 
     t = len(IOU_THRS)
     dt_m = -np.ones((t, d), int)
@@ -89,8 +118,10 @@ def _match_image(det_boxes, det_scores, gt_boxes, gt_crowd, gt_ignore_area):
 
 def evaluate_coco_bbox(gt_by_img_cat, det_by_img_cat, cat_ids, img_ids,
                        area_name: str = "all") -> Dict[str, float]:
-    """gt/det dicts keyed (img, cat): gt -> (boxes xyxy, iscrowd, areas);
-    det -> (boxes xyxy, scores)."""
+    """gt/det dicts keyed (img, cat): gt -> (boxes xyxy, iscrowd, areas[,
+    masks]); det -> (boxes xyxy, scores[, masks]). When masks (lists of
+    [H, W] bool) are present the match runs the segm-task mask IoU and
+    the det area-range filter uses mask areas (COCOeval iouType='segm')."""
     lo, hi = AREA_RANGES[area_name]
     t = len(IOU_THRS)
     precisions = -np.ones((t, len(RECALL_THRS), len(cat_ids)))
@@ -100,18 +131,29 @@ def evaluate_coco_bbox(gt_by_img_cat, det_by_img_cat, cat_ids, img_ids,
         scores_all, matched_all, ignored_all = [], [], []
         npig = 0
         for img in img_ids:
-            gt_boxes, gt_crowd, gt_areas = gt_by_img_cat.get(
+            gt_e = gt_by_img_cat.get(
                 (img, cat), (np.zeros((0, 4)), np.zeros(0, bool), np.zeros(0)))
-            det_boxes, det_scores = det_by_img_cat.get(
+            det_e = det_by_img_cat.get(
                 (img, cat), (np.zeros((0, 4)), np.zeros(0)))
+            gt_boxes, gt_crowd, gt_areas = gt_e[:3]
+            gt_masks = gt_e[3] if len(gt_e) > 3 else None
+            det_boxes, det_scores = det_e[:2]
+            det_masks = det_e[2] if len(det_e) > 2 else None
             gt_ignore_area = (gt_areas < lo) | (gt_areas > hi)
             order, dt_m, dt_ig, n_pig = _match_image(
-                det_boxes, det_scores, gt_boxes, gt_crowd, gt_ignore_area)
+                det_boxes, det_scores, gt_boxes, gt_crowd, gt_ignore_area,
+                det_masks, gt_masks)
             npig += n_pig
             d = len(order)
             if d:
-                det_area = ((det_boxes[order][:, 2] - det_boxes[order][:, 0])
-                            * (det_boxes[order][:, 3] - det_boxes[order][:, 1]))
+                if det_masks is not None:
+                    det_area = np.asarray(
+                        [int(det_masks[i].sum()) for i in order], float)
+                else:
+                    det_area = ((det_boxes[order][:, 2]
+                                 - det_boxes[order][:, 0])
+                                * (det_boxes[order][:, 3]
+                                   - det_boxes[order][:, 1]))
                 area_out = (det_area < lo) | (det_area > hi)
                 # unmatched dets outside the range are ignored (COCOeval)
                 dt_ig = dt_ig | ((dt_m < 0) & area_out[None, :])
@@ -165,46 +207,82 @@ def evaluate_coco_bbox(gt_by_img_cat, det_by_img_cat, cat_ids, img_ids,
 
 
 def do_coco_evaluation(dataset, predictions: List[Dict], output_folder=None,
-                       expected_results=None, sigma_tol: float = 4.0) -> Dict:
-    """Predictions (original coords, contiguous labels) -> COCO bbox metrics."""
+                       expected_results=None, sigma_tol: float = 4.0,
+                       iou_types=("bbox",)) -> Dict:
+    """Predictions (original coords, contiguous labels) -> COCO metrics.
+
+    iou_types: ("bbox",) by default; add "segm" to also score the
+    segmentation task (ref coco_eval.py:13 iou_types + the Masker path
+    in mask_head/inference.py). For segm, each prediction must carry
+    "masks": [N, H, W] bool full-image instance masks (the output of
+    models.mask_head.Masker) at the original image size, and GT masks are
+    rasterized from the annotations' "segmentation" polygons
+    (structures/masks.py)."""
     gt_by, det_by = {}, {}
+    gt_by_segm, det_by_segm = {}, {}
+    do_segm = "segm" in iou_types
     img_ids = []
     for idx, pred in enumerate(predictions):
         img_id = dataset.get_origin_id(idx)
         img_ids.append(img_id)
+        if do_segm:
+            info = dataset.get_img_info(idx)
+            im_w, im_h = info["width"], info["height"]
         anns = dataset.coco.img_to_anns[img_id]
-        by_cat = defaultdict(lambda: ([], [], []))
+        by_cat = defaultdict(lambda: ([], [], [], []))
         for a in anns:
             x, y, w, h = a["bbox"]
             c = dataset.json_category_id_to_contiguous_id[a["category_id"]]
-            bl, cl, al = by_cat[c]
+            bl, cl, al, ml = by_cat[c]
             bl.append([x, y, x + w, y + h])
             cl.append(bool(a.get("iscrowd", 0)))
             al.append(a.get("area", w * h))
-        for c, (bl, cl, al) in by_cat.items():
+            if do_segm:
+                from ..structures.masks import rasterize_polygons
+                seg = a.get("segmentation") or []
+                ml.append(rasterize_polygons(
+                    [np.asarray(p) for p in seg], im_h, im_w).astype(bool))
+        for c, (bl, cl, al, ml) in by_cat.items():
             gt_by[(img_id, c)] = (np.asarray(bl, float),
                                   np.asarray(cl, bool), np.asarray(al, float))
+            if do_segm:
+                gt_by_segm[(img_id, c)] = gt_by[(img_id, c)] + (ml,)
         boxes = np.asarray(pred["boxes"], float).reshape(-1, 4)
         labels = np.asarray(pred["labels"], int)
         scores = np.asarray(pred["scores"], float)
+        masks = np.asarray(pred["masks"]) if do_segm else None
         # xyxy (+1 convention) -> COCO xywh -> xyxy continuous
         for c in np.unique(labels):
             sel = labels == c
             bb = boxes[sel].copy()
             bb[:, 2:] += 1.0  # reference converts through xywh with w=x2-x1+1
             det_by[(img_id, int(c))] = (bb, scores[sel])
+            if do_segm:
+                det_by_segm[(img_id, int(c))] = (
+                    bb, scores[sel],
+                    [m.astype(bool) for m in masks[sel]])
 
     cat_ids = sorted({c for (_, c) in list(gt_by.keys()) + list(det_by.keys())})
     results = {}
-    for area in ("all", "small", "medium", "large"):
-        r = evaluate_coco_bbox(gt_by, det_by, cat_ids, img_ids, area)
-        if area == "all":
-            results.update({"AP": r["AP"], "AP50": r["AP50"], "AP75": r["AP75"],
-                            "AR": r["AR"]})
-        else:
-            results[f"AP_{area[0]}"] = r["AP"]
+    tasks = [("", gt_by, det_by)]
+    if do_segm:
+        tasks.append(("segm_", gt_by_segm, det_by_segm))
+    for prefix, g_by, d_by in tasks:
+        for area in ("all", "small", "medium", "large"):
+            r = evaluate_coco_bbox(g_by, d_by, cat_ids, img_ids, area)
+            if area == "all":
+                results.update({f"{prefix}AP": r["AP"],
+                                f"{prefix}AP50": r["AP50"],
+                                f"{prefix}AP75": r["AP75"],
+                                f"{prefix}AR": r["AR"]})
+            else:
+                results[f"{prefix}AP_{area[0]}"] = r["AP"]
     line = ("AP {AP:.4f} | AP50 {AP50:.4f} | AP75 {AP75:.4f} | APs {AP_s:.4f} "
             "| APm {AP_m:.4f} | APl {AP_l:.4f}").format(**results)
+    if do_segm:
+        line += ("\nsegm: AP {segm_AP:.4f} | AP50 {segm_AP50:.4f} | "
+                 "AP75 {segm_AP75:.4f} | APs {segm_AP_s:.4f} | "
+                 "APm {segm_AP_m:.4f} | APl {segm_AP_l:.4f}").format(**results)
     logger.info(line)
     if output_folder:
         with open(os.path.join(output_folder, "coco_results.txt"), "w") as f:

@@ -222,3 +222,57 @@ def test_coco_eval_matches_independent_oracle():
                                  AREA_RANGES[area], list(IOU_THRS))
         np.testing.assert_allclose(res["AP"], oracle, atol=1e-9,
                                    err_msg=area)
+
+
+class _ToyCocoSegmDataset(_ToyCocoDataset):
+    def __init__(self, anns_per_img, sizes):
+        super().__init__(anns_per_img)
+        self._sizes = sizes
+
+    def get_img_info(self, idx):
+        w, h = self._sizes[idx]
+        return {"width": w, "height": h}
+
+
+def test_coco_segm_perfect_and_degraded():
+    """segm task (iou_types): exact predicted masks score AP50=1; masks
+    eroded well below the 0.5-IoU bar score 0."""
+    # GT: a 20x20 square instance as a rectangle polygon
+    seg = [[10.0, 10.0, 29.0, 10.0, 29.0, 29.0, 10.0, 29.0]]
+    anns = [[{"bbox": [10, 10, 20, 20], "category_id": 1, "iscrowd": 0,
+              "area": 400, "segmentation": seg}]]
+    ds = _ToyCocoSegmDataset(anns, sizes=[(64, 48)])
+
+    from odwscl_tpu.structures.masks import rasterize_polygons
+    gt_mask = rasterize_polygons([np.asarray(seg[0])], 48, 64).astype(bool)
+
+    pred = _det([[10, 10, 29, 29]], [0.9], [1])
+    pred["masks"] = gt_mask[None]
+    res = do_coco_evaluation(ds, [pred], iou_types=("bbox", "segm"))
+    np.testing.assert_allclose(res["segm_AP50"], 1.0)
+    np.testing.assert_allclose(res["AP50"], 1.0)   # bbox task still runs
+
+    # a 6x6 mask inside the 20x20 gt: IoU = 36/400 < 0.5 everywhere
+    small = np.zeros_like(gt_mask)
+    small[12:18, 12:18] = True
+    pred2 = dict(pred)
+    pred2["masks"] = small[None]
+    res2 = do_coco_evaluation(ds, [pred2], iou_types=("bbox", "segm"))
+    np.testing.assert_allclose(res2["segm_AP"], 0.0)
+    np.testing.assert_allclose(res2["AP50"], 1.0)  # bbox unaffected
+
+
+def test_coco_segm_crowd_ignore():
+    """crowd GT masks use intersection/det-area IoU and do not count as
+    TP/FP (COCOeval crowd semantics carried to the segm task)."""
+    seg = [[0.0, 0.0, 39.0, 0.0, 39.0, 39.0, 0.0, 39.0]]
+    anns = [[{"bbox": [0, 0, 40, 40], "category_id": 1, "iscrowd": 1,
+              "area": 1600, "segmentation": seg}]]
+    ds = _ToyCocoSegmDataset(anns, sizes=[(64, 48)])
+    det_mask = np.zeros((48, 64), bool)
+    det_mask[5:15, 5:15] = True        # fully inside the crowd region
+    pred = _det([[5, 5, 14, 14]], [0.9], [1])
+    pred["masks"] = det_mask[None]
+    res = do_coco_evaluation(ds, [pred], iou_types=("bbox", "segm"))
+    # only-crowd GT -> no positives -> category skipped entirely
+    assert res["segm_AP"] == -1.0

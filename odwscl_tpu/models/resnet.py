@@ -122,6 +122,10 @@ class ResNetBackbone(nn.Module):
     stages_out: int = 5            # 4 -> C4 (1024ch), 5 -> C5
     c5_stride_one: bool = True     # generalized_rcnn.py:36-45
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # FPN mode (models/fpn.py): return every stage's output (C2..C{n})
+    # instead of only the last — the reference's ResNet(return_features)
+    # flag (backbone/resnet.py:103-160)
+    return_stages: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -138,6 +142,7 @@ class ResNetBackbone(nn.Module):
         channels = [64, 128, 256, 512] if basic else [256, 512, 1024, 2048]
         bott = [64, 128, 256, 512]
         n_stages = self.stages_out - 1  # stages 1..4 => layers 1..4
+        stage_outs = []
         for stage in range(n_stages):
             stride = 1 if stage == 0 else 2
             if stage == 3 and self.stages_out == 5 and self.c5_stride_one:
@@ -152,7 +157,8 @@ class ResNetBackbone(nn.Module):
                                    stride_in_1x1=True,
                                    compute_dtype=self.compute_dtype,
                                    name=f"layer{stage+1}_{b}")(x)
-        return x
+            stage_outs.append(x)
+        return tuple(stage_outs) if self.return_stages else x
 
     @property
     def out_channels(self):

@@ -81,6 +81,14 @@ def install():
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
 
+    # the reference's anchor_generator.py uses the np.float/np.int aliases
+    # numpy removed in 1.24 — restore them for the executed-reference tests
+    import numpy as _np
+    if not hasattr(_np, "float"):
+        _np.float = float  # type: ignore[attr-defined]
+    if not hasattr(_np, "int"):
+        _np.int = int      # type: ignore[attr-defined]
+
     # pycocotools (absent in this env) — only imported at module top of
     # structures/segmentation_mask.py; the geometry ops under test never
     # call it, so attribute stubs that fail loudly are enough

@@ -99,7 +99,10 @@ def main():
 
     # 1) HEADLINE: bf16 reference-parity path — the shipped default
     #    (TPU.INT8_EVAL=False), pure bf16 direct convs + bf16 fc6/fc7.
-    bf16_model = WSODDetector()
+    #    s2d_stem=True matches the shipped default TPU.S2D_STEM=True: an
+    #    EXACT re-association of the stem's bf16 sums (tests/test_s2d_stem),
+    #    not a precision change — still the reference-parity path.
+    bf16_model = WSODDetector(s2d_stem=True)
     variables = jax.jit(bf16_model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "augment": jax.random.PRNGKey(2)}, batch, train=True)
@@ -118,7 +121,7 @@ def main():
     #    — int8 convs from conv2_1 + int8 fc6/fc7, static-calibrated scales.
     if not skip_serving:
         sm = WSODDetector(int8_eval=True, int8_eval_convs=True,
-                          int8_static=True)
+                          int8_static=True, s2d_stem=True)
         # one calibration forward records activation scales (bf16 math)
         _, quant = jax.jit(
             sm.apply, static_argnames=("train", "calibrate", "mutable"))(

@@ -214,6 +214,16 @@ _C.TPU.INT8_STATIC = False
 # largest serving resolution).
 _C.TPU.INT8_CALIB_BATCHES = 2
 
+# Space-to-depth first VGG block (ops/s2d_stem.py): conv1_1 as a K=108
+# im2col GEMM on the space-to-depth input (a C_in=3 direct conv leaves
+# ~97% of the MXU's 128 K-lanes zero) and conv1_2+pool1 as one
+# half-resolution phase-batched conv — the full-res conv1_2 activation
+# (the largest tensor in the net) never materializes. EXACT re-association
+# of the same bf16 sums, same parameter tree (tests/test_s2d_stem.py);
+# unlike INT8_*/WINO_EVAL this is not an approximation, so it defaults ON
+# and applies to train and eval alike.
+_C.TPU.S2D_STEM = True
+
 # Fused Pallas Winograd F(4,3) convs on the eval path
 # (ops/winograd_pallas.py): 4x fewer MXU FLOPs on every stride-1 3x3 conv
 # with Cin/Cout % 128 == 0. Same precision contract as bf16 conv +- the

@@ -112,6 +112,7 @@ class WSODDetector(nn.Module):
     int8_eval_convs: bool = False     # TPU.INT8_EVAL_CONVS: int8 conv stack
     int8_static: bool = False         # TPU.INT8_STATIC: calibrated scales
     wino_eval: bool = False           # TPU.WINO_EVAL: fused Pallas Winograd
+    s2d_stem: bool = False            # TPU.S2D_STEM: exact s2d first block
     neck_dropout: float = 0.5         # fc6/fc7 dropout (vgg16.py classifier)
     # FASTER_RCNN=True: CAM-attention proposal generation instead of
     # precomputed rois (rpn.py:154-190 + cam.py; see models/cam_proposals)
@@ -142,6 +143,7 @@ class WSODDetector(nn.Module):
                                         int8_eval=self.int8_eval_convs,
                                         int8_static=self.int8_static,
                                         wino_eval=self.wino_eval,
+                                        s2d_stem=self.s2d_stem,
                                         freeze_at=self.freeze_convs)
             self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype,
                                    int8_eval=self.int8_eval,
@@ -524,6 +526,7 @@ def detector_from_cfg(cfg) -> WSODDetector:
         int8_eval_convs=cfg.TPU.INT8_EVAL_CONVS,
         int8_static=cfg.TPU.INT8_STATIC,
         wino_eval=cfg.TPU.WINO_EVAL,
+        s2d_stem=cfg.TPU.S2D_STEM,
         faster_rcnn=cfg.MODEL.FASTER_RCNN,
         rpn_post_nms=cfg.TPU.RPN_POST_NMS,
         freeze_convs=_freeze_count(cfg),

@@ -123,6 +123,14 @@ class VGGBackbone(nn.Module):
     # the net) only for the optimizer mask to zero the update. Forward
     # numerics are untouched.
     freeze_at: int = 0
+    # Space-to-depth first block (TPU.S2D_STEM, ops/s2d_stem.py): computes
+    # conv1_1 -> relu -> conv1_2 -> relu -> pool1 entirely at half
+    # resolution. Pure re-association of the same bf16/f32 sums (NOT a
+    # quantization/approximation — tests/test_s2d_stem.py), same param tree.
+    # Motivation: conv1_1 runs at ~3.7 TF/s (C_in=3 wastes 97% of the MXU's
+    # K lanes) and conv1_2's full-res activation is the largest tensor in
+    # the net; measured round 4: stem 21.9 ms -> see RESULTS.md.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, fast_eval: bool = False,
@@ -131,6 +139,20 @@ class VGGBackbone(nn.Module):
         conv_idx = 0
         spec = VGG_CFGS[self.arch]
         num_convs = sum(1 for v in spec if v not in ("M", "I"))
+        if (self.s2d_stem and spec[:3] == [64, 64, "M"]
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            from odwscl_tpu.ops.s2d_stem import stem_s2d
+            k1, b1 = _ConvKB(64, (3, 3, x.shape[-1], 64), name="conv0")()
+            k2, b2 = _ConvKB(64, (3, 3, 64, 64), name="conv1")()
+            x = stem_s2d(x, k1, b1, k2, b2, compute_dtype=self.compute_dtype)
+            conv_idx = 2
+            spec = spec[3:]
+            # the direct path prunes at conv_idx==2 (pre-pool1); pruning
+            # post-pool1 is equivalent (pool of a stopped value). freeze_at
+            # == 1 falls mid-stem: skip the pruning, the optimizer mask
+            # alone freezes conv0 (numerics are unaffected either way).
+            if self.freeze_at == 2:
+                x = jax.lax.stop_gradient(x)
         for si, v in enumerate(spec):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))

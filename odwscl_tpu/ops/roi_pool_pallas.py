@@ -162,23 +162,32 @@ def _rowbins_tbl(meta_ref, feat_ref, tbl_ref, rb_ref, r, xs, cw, nl,
     """Fill rb_ref[ph, :cw] with the 7 row-bin maxima of roi r via the
     sparse table: two loads per bin (+ a stepped loop only for ranges
     longer than twice the top span). Level-0 (single-row span) candidates
-    come from the feature block; a scalar select picks the right pair."""
+    come from the feature block; pl.when branches on the level so only
+    the live pair is loaded (the previous scalar-select form loaded all
+    four candidates — half the row-stage VMEM traffic was dead)."""
     ct = feat_ref.shape[-1]
     span = 1 << (nl - 1)
     for ph in range(7):
         jj = _ms(meta_ref, r, _M_RJ + ph)
         aa = _ms(meta_ref, r, _M_RLO + ph)
         bb = _ms(meta_ref, r, _M_RB + ph)
-        lvl = jnp.maximum(jj - 1, 0)
-        fa = feat_ref[0, aa, pl.ds(xs, cw), :].reshape(cw, ct)
-        fb = feat_ref[0, bb, pl.ds(xs, cw), :].reshape(cw, ct)
-        ta = tbl_ref[lvl, aa, pl.ds(xs, cw), :].reshape(cw, ct)
-        tb = tbl_ref[lvl, bb, pl.ds(xs, cw), :].reshape(cw, ct)
-        va = jnp.where(jj >= 1, ta, fa)
-        vb = jnp.where(jj >= 1, tb, fb)
-        m = jnp.maximum(va, vb).astype(dtype)
-        rb_ref[ph, :cw] = jnp.where(jj >= 0, m,
-                                    jnp.full((cw, ct), _neg(dtype), dtype))
+
+        @pl.when(jj >= 1)
+        def _(ph=ph, jj=jj, aa=aa, bb=bb):
+            ta = tbl_ref[jj - 1, aa, pl.ds(xs, cw), :].reshape(cw, ct)
+            tb = tbl_ref[jj - 1, bb, pl.ds(xs, cw), :].reshape(cw, ct)
+            rb_ref[ph, :cw] = jnp.maximum(ta, tb).astype(dtype)
+
+        @pl.when(jj == 0)
+        def _(ph=ph, aa=aa, bb=bb):
+            fa = feat_ref[0, aa, pl.ds(xs, cw), :].reshape(cw, ct)
+            fb = feat_ref[0, bb, pl.ds(xs, cw), :].reshape(cw, ct)
+            rb_ref[ph, :cw] = jnp.maximum(fa, fb).astype(dtype)
+
+        @pl.when(jj < 0)
+        def _(ph=ph):
+            rb_ref[ph, :cw] = jnp.full((cw, ct), _neg(dtype), dtype)
+
         ns = _ms(meta_ref, r, _M_RNS + ph)
 
         @pl.when(ns > 0)

@@ -41,7 +41,10 @@ def main():
     batch = Batch(images, sizes, boxes, mask, jnp.array(labels))
 
     cfg = get_default_cfg()
-    model = WSODDetector()
+    # shipped default TPU.S2D_STEM=True (exact re-association, see
+    # ops/s2d_stem.py); ODWSCL_BENCH_S2D=0 measures the direct stem
+    model = WSODDetector(
+        s2d_stem=os.environ.get("ODWSCL_BENCH_S2D", "1") != "0")
     state, tx, _ = create_train_state(model, cfg, batch,
                                       jax.random.PRNGKey(0))
     step = make_train_step(model, tx)

@@ -99,3 +99,31 @@ def test_backbone_flag_parity():
     got = fast.apply(params, x)  # identical param tree by construction
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_s2d_composes_with_int8_convs():
+    """The shipped serving recipe stacks TPU.S2D_STEM (exact, bf16 stem)
+    with TPU.INT8_EVAL_CONVS (quantized conv2_1+); the stem swap must not
+    change the param tree or blow up the int8 drift bound."""
+    from odwscl_tpu.models.vgg16 import VGGBackbone
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    plain = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.float32)
+    combo = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.float32,
+                        int8_eval=True, s2d_stem=True)
+    params = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+    t_combo = jax.tree_util.tree_map(
+        lambda a: (a.shape, str(a.dtype)),
+        jax.jit(combo.init)(jax.random.PRNGKey(0), x))
+    t_plain = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)),
+                                     params)
+    assert t_combo == t_plain
+    y_ref = np.asarray(jax.jit(plain.apply)(params, x))
+    y = np.asarray(jax.jit(
+        lambda p, x: combo.apply(p, x, fast_eval=True))(params, x))
+    scale = np.abs(y_ref).max() + 1e-6
+    assert np.abs(y - y_ref).max() / scale < 0.25  # int8-drift bound only
+    # without fast_eval (train path) the combo is s2d-exact vs plain
+    y_train = np.asarray(jax.jit(combo.apply)(params, x))
+    np.testing.assert_allclose(y_train, y_ref, rtol=2e-4, atol=2e-4)

@@ -79,7 +79,8 @@ def main():
     t = chain_time(lambda x, y: x @ y, perturb_img, (a8, b8), args.iters)
     print(f"matmul 8k^3 : {t*1e3:7.2f} ms  ({2*8192**3/t/1e12:.0f} TF/s)")
 
-    backbone = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.bfloat16)
+    backbone = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.bfloat16,
+                       s2d_stem=True)  # shipped TPU.S2D_STEM default
     bb_params = jax.jit(backbone.init)(key, images)
     t = chain_time(lambda pr, x: backbone.apply(pr, x),
                    lambda a, acc: (a[0], a[1] + (acc * 1e-30).astype(a[1].dtype)),
@@ -87,7 +88,8 @@ def main():
     feats = jax.jit(backbone.apply)(bb_params, images)
     if args.int8:
         bb8 = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.bfloat16,
-                          int8_eval=True, int8_static=True)
+                          int8_eval=True, int8_static=True,
+                          s2d_stem=True)
         _, quant = jax.jit(lambda pr, x: bb8.apply(
             pr, x, fast_eval=True, calibrate=True,
             mutable=["quant"]))(bb_params, images)

@@ -220,18 +220,9 @@ _C.TPU.INT8_CALIB_BATCHES = 2
 # half-resolution phase-batched conv — the full-res conv1_2 activation
 # (the largest tensor in the net) never materializes. EXACT re-association
 # of the same bf16 sums, same parameter tree (tests/test_s2d_stem.py);
-# unlike INT8_*/WINO_EVAL this is not an approximation, so it defaults ON
+# unlike the INT8_* modes this is not an approximation, so it defaults ON
 # and applies to train and eval alike.
 _C.TPU.S2D_STEM = True
-
-# Fused Pallas Winograd F(4,3) convs on the eval path
-# (ops/winograd_pallas.py): 4x fewer MXU FLOPs on every stride-1 3x3 conv
-# with Cin/Cout % 128 == 0. Same precision contract as bf16 conv +- the
-# F(4,3) transform (bounded in tests/test_winograd.py); the reference's
-# cuDNN picks Winograd for these layers on its own — this is the explicit
-# TPU counterpart. Default OFF until the fused kernel beats direct conv
-# on hardware (tools/bench_wino.py tracks it).
-_C.TPU.WINO_EVAL = False
 
 # Proposals kept after NMS by the CAM-attention proposal generator
 # (MODEL.FASTER_RCNN=True path, models/cam_proposals.py; the reference's

@@ -238,10 +238,12 @@ def do_coco_evaluation(dataset, predictions: List[Dict], output_folder=None,
             cl.append(bool(a.get("iscrowd", 0)))
             al.append(a.get("area", w * h))
             if do_segm:
-                from ..structures.masks import rasterize_polygons
+                # polygons or RLE dicts (ref loads both via pycocotools;
+                # structures/rle.py is the pure-python codec)
+                from ..structures.rle import rasterize_segmentation
                 seg = a.get("segmentation") or []
-                ml.append(rasterize_polygons(
-                    [np.asarray(p) for p in seg], im_h, im_w).astype(bool))
+                ml.append(rasterize_segmentation(seg, im_h,
+                                                 im_w).astype(bool))
         for c, (bl, cl, al, ml) in by_cat.items():
             gt_by[(img_id, c)] = (np.asarray(bl, float),
                                   np.asarray(cl, bool), np.asarray(al, float))

@@ -111,7 +111,6 @@ class WSODDetector(nn.Module):
     int8_eval: bool = False           # TPU.INT8_EVAL: quantized serving path
     int8_eval_convs: bool = False     # TPU.INT8_EVAL_CONVS: int8 conv stack
     int8_static: bool = False         # TPU.INT8_STATIC: calibrated scales
-    wino_eval: bool = False           # TPU.WINO_EVAL: fused Pallas Winograd
     s2d_stem: bool = False            # TPU.S2D_STEM: exact s2d first block
     neck_dropout: float = 0.5         # fc6/fc7 dropout (vgg16.py classifier)
     # FASTER_RCNN=True: CAM-attention proposal generation instead of
@@ -142,7 +141,6 @@ class WSODDetector(nn.Module):
                                         compute_dtype=dtype,
                                         int8_eval=self.int8_eval_convs,
                                         int8_static=self.int8_static,
-                                        wino_eval=self.wino_eval,
                                         s2d_stem=self.s2d_stem,
                                         freeze_at=self.freeze_convs)
             self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype,
@@ -244,8 +242,7 @@ class WSODDetector(nn.Module):
         while recording activation scales into the "quant" collection
         (apply with mutable=["quant"]; see vgg16.py int8_static)."""
         if self.backbone_arch.startswith("VGG16"):
-            use_fast = (self.int8_eval_convs
-                        or (self.wino_eval and (_on_tpu() or _interp())))
+            use_fast = self.int8_eval_convs
             feats = self.backbone(batch.images, fast_eval=use_fast,
                                   calibrate=calibrate and use_fast)
         else:
@@ -525,7 +522,6 @@ def detector_from_cfg(cfg) -> WSODDetector:
         int8_eval=cfg.TPU.INT8_EVAL,
         int8_eval_convs=cfg.TPU.INT8_EVAL_CONVS,
         int8_static=cfg.TPU.INT8_STATIC,
-        wino_eval=cfg.TPU.WINO_EVAL,
         s2d_stem=cfg.TPU.S2D_STEM,
         faster_rcnn=cfg.MODEL.FASTER_RCNN,
         rpn_post_nms=cfg.TPU.RPN_POST_NMS,

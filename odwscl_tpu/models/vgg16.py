@@ -99,13 +99,6 @@ class VGGBackbone(nn.Module):
     # from conv2_1 on (the RGB stem stays bf16 — C_in=3 is layout-bound,
     # not MXU-bound). Eval-only: train always runs bf16.
     int8_eval: bool = False
-    # fused Pallas Winograd F(4,3) convs on the eval path
-    # (TPU.WINO_EVAL, ops/winograd_pallas.py): 4x fewer MXU FLOPs for
-    # every stride-1 3x3 conv with Cin/Cout % 128 == 0 (conv2_2 on,
-    # incl. the dilated conv5 block). Same precision contract as the XLA
-    # winograd (tests/test_winograd.py); takes precedence over int8_eval
-    # on eligible layers. Eval-only: train always runs bf16 direct.
-    wino_eval: bool = False
     # Static-calibrated activation scales for the int8 eval convs: a
     # calibration pass (calibrate=True, mutable=["quant"]) records per-layer
     # input abs-maxes into the "quant" collection; with int8_static=True the
@@ -163,26 +156,6 @@ class VGGBackbone(nn.Module):
                     ch, dilation, pad = int(v.split("-")[0]), 2, 2
                 else:
                     ch, dilation, pad = int(v), 1, 1
-                wino_p = False
-                if fast_eval and self.wino_eval:
-                    from odwscl_tpu.ops.winograd_pallas import (
-                        winograd_pallas_feasible)
-                    hh = x.shape[1] // dilation
-                    ww = x.shape[2] // dilation
-                    wino_p = winograd_pallas_feasible(hh, ww, x.shape[-1],
-                                                      ch)
-                if wino_p:
-                    from odwscl_tpu.ops import winograd_pallas as wpal
-                    k, bb = _ConvKB(ch, (3, 3, x.shape[-1], ch),
-                                    name=f"conv{conv_idx}")()
-                    fn = (wpal.winograd_conv3x3_d2_pallas if dilation == 2
-                          else wpal.winograd_conv3x3_pallas)
-                    # fuse the inter-conv ReLU (the last conv has none)
-                    fused_relu = conv_idx + 1 < num_convs
-                    x = fn(x, k, bb, compute_dtype=self.compute_dtype,
-                           relu=fused_relu)
-                    conv_idx += 1
-                    continue
                 if fast_eval and self.int8_eval and conv_idx >= 2:
                     from odwscl_tpu.ops.quant import conv2d_int8, conv2d_ref
                     k, b = _ConvKB(ch, (3, 3, x.shape[-1], ch),

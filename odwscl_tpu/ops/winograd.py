@@ -1,17 +1,16 @@
 """Winograd F(4x4, 3x3) transform constants + XLA reference implementation.
 
-STATUS (round 4, VERDICT r3 task 8 — trimmed): Winograd LOST to the
-shipped alternatives on this hardware and is NOT on any product path.
-Measured (tools/bench_wino.py, v5e, chained timing): the fused Pallas
-kernel (ops/winograd_pallas.py) ran 0.3-0.7x of XLA's direct bf16 conv
-(host view prep + transform VMEM traffic ate the 4x FLOP cut) and the
-round-3 "v2" phase-layout XLA variant 0.15-0.29x (XLA does not fuse the
-transform chains) — the v2 variant is deleted; NOTES.md records the
-numbers. The round-4 conv-rate win is int8 instead (ops/quant.py
-conv2d_int8: XLA int8 conv at 1.2-1.55x bf16 with a calibrated accuracy
-story). This module keeps the F(4,3) transform matrices and the
-straightforward XLA implementation solely as the ORACLE for
-tests/test_winograd*.py and the off-by-default Pallas kernel seed.
+STATUS (CLOSED round 5, VERDICT r4 task 6): Winograd LOST to the shipped
+alternatives on this hardware and is NOT on any product path. Measured
+on v5e with chained timing (NOTES.md records the numbers): the fused
+Pallas kernel ran 0.3-0.7x of XLA's direct bf16 conv (host view prep +
+transform VMEM traffic ate the 4x FLOP cut) and the round-3 "v2"
+phase-layout XLA variant 0.15-0.29x (XLA does not fuse the transform
+chains). Both implementations are DELETED; the shipped conv-rate win is
+int8 instead (ops/quant.py conv2d_int8: XLA int8 conv at 1.2-1.55x bf16
+with a calibrated accuracy story). This module keeps only the F(4,3)
+transform matrices and the straightforward XLA implementation as a
+correctness oracle (tests/test_winograd.py) for any future retry.
 
 Math background: Winograd F(4,3) computes each 4x4 output tile with 36
 multiplies instead of 144 (4x fewer MXU FLOPs); the input/output

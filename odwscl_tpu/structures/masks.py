@@ -17,6 +17,13 @@ PIL's even-odd polygon fill and unions the instance's polygon groups
 from COCO's 5x-upsampled line rasterizer by boundary pixels; evaluation
 is self-consistent (GT and predictions rasterize identically) and
 axis-aligned-rectangle polygons are exact (tests/test_masks.py).
+
+RLE note: COCO RLE segmentation dicts (compressed string or
+uncompressed count-list) are ingested EXACTLY via the pure-python codec
+in structures/rle.py (golden-tested against the pycocotools wire
+format, tests/test_rle.py) — `BinaryMasks` accepts RLE dict entries
+directly, matching the reference's BinaryMaskList RLE path
+(segmentation_mask.py:40-75).
 """
 
 from __future__ import annotations
@@ -137,7 +144,13 @@ class BinaryMasks:
         if isinstance(masks, BinaryMasks):
             masks = masks.masks.copy()
         elif isinstance(masks, (list, tuple)):
-            masks = (np.stack([np.asarray(m) for m in masks])
+            # entries may be COCO RLE dicts (compressed or uncompressed),
+            # matching the reference's BinaryMaskList RLE ingestion
+            # (segmentation_mask.py:40-75 via mask_utils.decode)
+            from .rle import is_rle, rle_decode
+            masks = [rle_decode(m) if is_rle(m) else np.asarray(m)
+                     for m in masks]
+            masks = (np.stack(masks)
                      if masks else np.zeros((0, size[1], size[0])))
         masks = np.asarray(masks)
         if masks.ndim == 2:

@@ -13,6 +13,13 @@ Same sums, same dtype -> identical results up to conv-tiling ulps.
 This probe measures whether XLA's dilated conv leaves MXU rate on the
 table vs the dense-phase form (it did for the stem: NOTES.md s2d).
 
+Caveats before promoting this transform into ops/ (ADVICE r4):
+- the re-association is exact only for EVEN H and W (the phase split
+  assumes 2|H, 2|W) — a shipped version must guard on parity;
+- the probe applies ReLU after the third conv for simplicity, but the
+  reference strips conv5_3's trailing ReLU (make_layers returns
+  layers[:-1]) — immaterial for throughput, wrong as a parity template.
+
     python -u tools/profile_conv5_phase.py
 """
 
@@ -63,6 +70,7 @@ def main():
 
     def s2d(xx):
         bb, hh, ww, cc = xx.shape
+        assert hh % 2 == 0 and ww % 2 == 0, "phase split needs even H, W"
         # phase-major batch: [ph*2+pw, B, H/2, W/2, C] -> merge to batch
         y = xx.reshape(bb, hh // 2, 2, ww // 2, 2, cc)
         y = y.transpose(2, 4, 0, 1, 3, 5)

@@ -23,6 +23,9 @@ _C.MODEL.FASTER_RCNN = False
 # WSOD config (roi_heads.py:68 returns the weak head first).
 _C.MODEL.MASK_ON = False
 _C.MODEL.KEYPOINT_ON = False
+# dense single-stage RetinaNet instead of the two-stage RCNN family
+# (reference defaults.py:27 + rpn/retinanet); build_model dispatches on it
+_C.MODEL.RETINANET_ON = False
 _C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
 _C.MODEL.WEIGHT = ""
 
@@ -57,6 +60,40 @@ _C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
 _C.MODEL.ROI_BOX_HEAD.POOLER_SCALES = (0.125,)
 _C.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "VGG16.roi_head"
 _C.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM = 4096
+
+# supervised aux heads (WSOD_ON=False stack; reference defaults.py:254-282).
+# RESOLUTION is the mask-logit side — the heads share the box pooler here
+# (C4-style SHARE_BOX_FEATURE_EXTRACTOR), so it must be 2x the box pooler
+# resolution (MaskPredictor's deconv doubles it; models/roi_heads.py).
+_C.MODEL.ROI_MASK_HEAD = CfgNode()
+_C.MODEL.ROI_MASK_HEAD.CONV_LAYERS = (256, 256, 256, 256)
+_C.MODEL.ROI_MASK_HEAD.RESOLUTION = 14
+_C.MODEL.ROI_MASK_HEAD.DILATION = 1
+_C.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD = 0.5
+
+_C.MODEL.ROI_KEYPOINT_HEAD = CfgNode()
+_C.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES = 17  # keypoint count (person)
+
+# RetinaNet (reference defaults.py:336-391; models/retinanet.py)
+_C.MODEL.RETINANET = CfgNode()
+_C.MODEL.RETINANET.NUM_CLASSES = 81            # including background
+_C.MODEL.RETINANET.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+_C.MODEL.RETINANET.ASPECT_RATIOS = (0.5, 1.0, 2.0)
+_C.MODEL.RETINANET.ANCHOR_STRIDES = (8, 16, 32, 64, 128)
+_C.MODEL.RETINANET.OCTAVE = 2.0
+_C.MODEL.RETINANET.SCALES_PER_OCTAVE = 3
+_C.MODEL.RETINANET.USE_C5 = True
+_C.MODEL.RETINANET.NUM_CONVS = 4
+_C.MODEL.RETINANET.PRIOR_PROB = 0.01
+_C.MODEL.RETINANET.FG_IOU_THRESHOLD = 0.5
+_C.MODEL.RETINANET.BG_IOU_THRESHOLD = 0.4
+_C.MODEL.RETINANET.LOSS_ALPHA = 0.25
+_C.MODEL.RETINANET.LOSS_GAMMA = 2.0
+_C.MODEL.RETINANET.BBOX_REG_WEIGHT = 4.0
+_C.MODEL.RETINANET.BBOX_REG_BETA = 0.11
+_C.MODEL.RETINANET.INFERENCE_TH = 0.05
+_C.MODEL.RETINANET.NMS_TH = 0.4
+_C.MODEL.RETINANET.PRE_NMS_TOP_N = 1000
 
 _C.MODEL.ROI_WEAK_HEAD = CfgNode()
 _C.MODEL.ROI_WEAK_HEAD.PREDICTOR = "MISTPredictor"  # WSDDNPredictor | OICRPredictor | MISTPredictor
@@ -223,6 +260,28 @@ _C.TPU.INT8_CALIB_BATCHES = 2
 # unlike the INT8_* modes this is not an approximation, so it defaults ON
 # and applies to train and eval alike.
 _C.TPU.S2D_STEM = True
+
+# Upload eval images to the device as bf16 (engine/inference.py): EXACT
+# when COMPUTE_DTYPE is bfloat16 (the backbone's first conv casts its
+# input to bf16 either way; host RTNE cast == device cast), and halves
+# the host->device image bytes — the dominant cost of the TTA eval loop
+# on a tunneled chip (tools/bench_eval_e2e.py measured the host/transfer
+# side at >10x the device compute before the round-5 pipeline fix).
+_C.TPU.EVAL_TRANSFER_BF16 = True
+
+# Padded per-image GT-instance slots in a supervised Batch (gt_boxes
+# [B, GT_PAD, 4] + mask; the reference's ragged BoxList targets). Images
+# with more instances keep the first GT_PAD (collate counts truncation).
+_C.TPU.GT_PAD = 32
+
+# GT instance bitmasks (MASK_ON) are rasterized at collate time at
+# 1/MASK_RASTER_STRIDE of the padded canvas — the mask-loss target crop
+# (models/mask_head.py crop_resize_bitmasks) samples bilinearly from this
+# raster, so with 28x28-or-less targets a stride-4 source loses nothing
+# while cutting host->device mask traffic 16x. The reference instead
+# re-rasterizes polygons per matched roi on host every iteration
+# (mask_head/loss.py:11-42), which it itself flags as a CPU bottleneck.
+_C.TPU.MASK_RASTER_STRIDE = 4
 
 # Proposals kept after NMS by the CAM-attention proposal generator
 # (MODEL.FASTER_RCNN=True path, models/cam_proposals.py; the reference's

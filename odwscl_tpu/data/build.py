@@ -25,7 +25,8 @@ logger = logging.getLogger("odwscl_tpu.data")
 
 
 def build_dataset(name: str, proposal_file: Optional[str], is_train: bool,
-                  data_root: str = "datasets"):
+                  data_root: str = "datasets", load_masks: bool = False,
+                  load_keypoints: bool = False):
     import os
     if (proposal_file and not os.path.isabs(proposal_file)
             and not os.path.exists(proposal_file)):
@@ -40,7 +41,9 @@ def build_dataset(name: str, proposal_file: Optional[str], is_train: bool,
                                 use_difficult=not is_train, **args)
     if factory == "COCODataset":
         return COCODataset(proposal_file=proposal_file,
-                           remove_images_without_annotations=is_train, **args)
+                           remove_images_without_annotations=is_train,
+                           load_masks=load_masks,
+                           load_keypoints=load_keypoints, **args)
     if factory == "WebDataset":
         from .flickr import WebDataset
         return WebDataset(proposal_file=proposal_file, **args)
@@ -163,7 +166,9 @@ def make_train_loader(cfg, start_iter: int = 0, data_root: str = "datasets",
                       process_count: int = 1, process_index: int = 0):
     names = cfg.DATASETS.TRAIN
     pfiles = cfg.PROPOSAL_FILES.TRAIN or (None,) * len(names)
-    datasets = [build_dataset(n, p, True, data_root)
+    datasets = [build_dataset(n, p, True, data_root,
+                              load_masks=cfg.MODEL.MASK_ON,
+                              load_keypoints=cfg.MODEL.KEYPOINT_ON)
                 for n, p in zip(names, pfiles)]
     dataset = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
     transform = build_train_transform(cfg)
@@ -184,7 +189,9 @@ def make_eval_loaders(cfg, data_root: str = "datasets",
     pfiles = cfg.PROPOSAL_FILES.TEST or (None,) * len(names)
     loaders = []
     for n, p in zip(names, pfiles):
-        ds = build_dataset(n, p, False, data_root)
+        ds = build_dataset(n, p, False, data_root,
+                           load_masks=cfg.MODEL.MASK_ON,
+                           load_keypoints=cfg.MODEL.KEYPOINT_ON)
         transform = (None if cfg.TEST.BBOX_AUG.ENABLED else EvalTransform(
             cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST,
             tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD),

@@ -51,9 +51,16 @@ class MiniCOCO:
 
 
 class COCODataset:
+    """load_masks/load_keypoints: MODEL.MASK_ON / KEYPOINT_ON plumb the
+    annotations' "segmentation" (polygon lists or RLE dicts, reference
+    coco.py:95-104 via SegmentationMask) and "keypoints" (coco.py:106-110
+    via PersonKeypoints) into the Sample; the collator rasterizes/pads
+    them into Batch.gt_bitmasks / gt_keypoints."""
+
     def __init__(self, ann_file: str, img_dir: str,
                  remove_images_without_annotations: bool = True,
-                 proposal_file: Optional[str] = None, min_size: float = 2.0):
+                 proposal_file: Optional[str] = None, min_size: float = 2.0,
+                 load_masks: bool = False, load_keypoints: bool = False):
         self.coco = MiniCOCO(ann_file)
         self.root = img_dir
         ids = self.coco.getImgIds()
@@ -70,6 +77,8 @@ class COCODataset:
         self.categories = {c["id"]: c["name"] for c in self.coco.cats.values()}
         self.proposals = (ProposalStore(proposal_file, min_size=min_size)
                           if proposal_file else None)
+        self.load_masks = load_masks
+        self.load_keypoints = load_keypoints
 
     def __len__(self):
         return len(self.ids)
@@ -132,11 +141,38 @@ class COCODataset:
                 [self.json_category_id_to_contiguous_id[a["category_id"]]
                  for a in anns], np.int64)
 
+        # supervised instance annotations (reference coco.py:95-115)
+        gt_masks = gt_keypoints = None
+        if self.load_masks:
+            from ..structures.masks import Masks
+            from ..structures.rle import is_rle, rle_decode
+            segs = [a.get("segmentation") or [] for a in anns]
+            if any(is_rle(s) for s in segs):
+                # mixed polygon/RLE images decode everything to rasters
+                from ..structures.masks import rasterize_polygons
+                bit = [rle_decode(s) if is_rle(s) else rasterize_polygons(
+                    [np.asarray(p, np.float64) for p in s], h, w)
+                    for s in segs]
+                gt_masks = Masks(np.stack(bit) if bit else
+                                 np.zeros((0, h, w)), (w, h), mode="mask")
+            else:
+                gt_masks = Masks(segs, (w, h), mode="poly")
+        if self.load_keypoints:
+            from ..structures.keypoints import PersonKeypoints
+            kps = [a.get("keypoints", []) for a in anns]
+            k = max((len(x) // 3 for x in kps), default=17) or 17
+            arr = np.zeros((len(kps), k, 3), np.float32)
+            for i, x in enumerate(kps):
+                if x:
+                    arr[i] = np.asarray(x, np.float32).reshape(-1, 3)[:k]
+            gt_keypoints = PersonKeypoints(arr, (w, h))
+
         return Sample(image=img, size=img.size, gt_boxes=gt_boxes,
                       gt_labels=gt_labels, gt_difficult=gt_diff, rois=rois,
                       image_id=index, clicks=clicks,
                       click_labels=click_labels, scribbles=scribbles,
-                      scribble_labels=scribble_labels)
+                      scribble_labels=scribble_labels,
+                      gt_masks=gt_masks, gt_keypoints=gt_keypoints)
 
     def map_class_id_to_class_name(self, class_id):
         json_id = self.contiguous_category_id_to_json_id.get(class_id)

@@ -45,13 +45,23 @@ class BatchCollator:
                  image_pad_multiple: int = 128,
                  proposal_buckets: Sequence[int] = (512, 1024, 2048, 4096),
                  fixed_image_hw: Optional[tuple] = None,
-                 fixed_proposals: Optional[int] = None):
+                 fixed_proposals: Optional[int] = None,
+                 include_gt: bool = False, gt_pad: int = 32,
+                 mask_raster_stride: int = 4):
+        """include_gt: pad instance GT (boxes/labels/masks/keypoints) into
+        the Batch — the supervised stack (WSOD_ON=False / RETINANET_ON);
+        WSOD batches carry image-level labels only. gt bitmasks are
+        rasterized here at 1/mask_raster_stride of the padded canvas
+        (TPU.MASK_RASTER_STRIDE; see models/mask_head.py)."""
         self.num_classes = num_classes
         self.size_div = size_divisibility
         self.image_pad_multiple = image_pad_multiple
         self.proposal_buckets = tuple(proposal_buckets)
         self.fixed_image_hw = fixed_image_hw
         self.fixed_proposals = fixed_proposals
+        self.include_gt = include_gt
+        self.gt_pad = gt_pad
+        self.mask_raster_stride = mask_raster_stride
 
     def __call__(self, samples: List[Sample]) -> Batch:
         b = len(samples)
@@ -118,6 +128,46 @@ class BatchCollator:
                 sm[i, :n] = True
             extra.update(scribbles=scr, scribble_labels=slab,
                          scribble_mask=sm)
+        if self.include_gt:
+            g = self.gt_pad
+            gtb = np.zeros((b, g, 4), np.float32)
+            gtl = np.zeros((b, g), np.int32)
+            gtm = np.zeros((b, g), bool)
+            for i, s in enumerate(samples):
+                if s.gt_boxes is None or not len(s.gt_boxes):
+                    continue
+                n = min(len(s.gt_boxes), g)
+                gtb[i, :n] = s.gt_boxes[:n]
+                gtl[i, :n] = s.gt_labels[:n]
+                gtm[i, :n] = True
+            extra.update(gt_boxes=gtb, gt_labels=gtl, gt_mask=gtm)
+            if any(s.gt_masks is not None for s in samples):
+                st = self.mask_raster_stride
+                mh, mw = ph // st, pw // st
+                bit = np.zeros((b, g, mh, mw), np.float32)
+                for i, s in enumerate(samples):
+                    if s.gt_masks is None or not len(s.gt_masks):
+                        continue
+                    # rasterize at the transformed size, then stride-
+                    # subsample onto the padded canvas raster (the mask
+                    # lives in the image's top-left corner like the image)
+                    raster = s.gt_masks.resize(
+                        (s.image.shape[1] // st, s.image.shape[0] // st)
+                    ).to_bitmasks().astype(np.float32)
+                    n = min(len(raster), g)
+                    bit[i, :n, :raster.shape[1], :raster.shape[2]] = raster[:n]
+                extra.update(gt_bitmasks=bit)
+            if any(s.gt_keypoints is not None for s in samples):
+                k = max(s.gt_keypoints.keypoints.shape[1]
+                        for s in samples if s.gt_keypoints is not None)
+                kp = np.zeros((b, g, k, 3), np.float32)
+                for i, s in enumerate(samples):
+                    if s.gt_keypoints is None or not len(s.gt_keypoints):
+                        continue
+                    arr = s.gt_keypoints.keypoints
+                    n = min(len(arr), g)
+                    kp[i, :n, :arr.shape[1]] = arr[:n]
+                extra.update(gt_keypoints=kp)
         return Batch(images=images, image_sizes=sizes, boxes=boxes,
                      box_mask=mask, labels=labels, **extra)
 
@@ -128,4 +178,7 @@ def collator_from_cfg(cfg) -> BatchCollator:
         size_divisibility=cfg.DATALOADER.SIZE_DIVISIBILITY,
         image_pad_multiple=cfg.TPU.IMAGE_PAD_MULTIPLE,
         proposal_buckets=tuple(cfg.TPU.PROPOSAL_BUCKETS),
+        include_gt=(not cfg.MODEL.WSOD_ON) or cfg.MODEL.RETINANET_ON,
+        gt_pad=cfg.TPU.GT_PAD,
+        mask_raster_stride=cfg.TPU.MASK_RASTER_STRIDE,
     )

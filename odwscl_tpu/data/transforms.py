@@ -44,6 +44,13 @@ class Sample:
     click_labels: Optional[np.ndarray] = None    # [K]
     scribbles: Optional[np.ndarray] = None       # [S, 4] xyxy
     scribble_labels: Optional[np.ndarray] = None  # [S]
+    # fully-supervised instance annotations (MODEL.WSOD_ON=False / MASK_ON
+    # / KEYPOINT_ON; reference coco.py:95-115 parses them into the target
+    # BoxList's "masks"/"keypoints" fields). gt_masks is a structures.masks
+    # container (Masks/PolygonMasks/BinaryMasks — carries its own
+    # resize/transpose); gt_keypoints a structures.keypoints.Keypoints.
+    gt_masks: Optional[object] = None
+    gt_keypoints: Optional[object] = None
 
 
 def get_resize_size(size_wh: Tuple[int, int], min_size: int,
@@ -86,11 +93,16 @@ def resize(sample: Sample, min_size, max_size, rng: Optional[np.random.RandomSta
         out[:, 1::2] *= rh
         return out
 
-    return dataclasses.replace(sample, image=img, size=(ow, oh),
-                               gt_boxes=scale(sample.gt_boxes),
-                               rois=scale(sample.rois),
-                               clicks=scale(sample.clicks),
-                               scribbles=scale(sample.scribbles))
+    return dataclasses.replace(
+        sample, image=img, size=(ow, oh),
+        gt_boxes=scale(sample.gt_boxes),
+        rois=scale(sample.rois),
+        clicks=scale(sample.clicks),
+        scribbles=scale(sample.scribbles),
+        gt_masks=(sample.gt_masks.resize((ow, oh))
+                  if sample.gt_masks is not None else None),
+        gt_keypoints=(sample.gt_keypoints.resize((ow, oh))
+                      if sample.gt_keypoints is not None else None))
 
 
 def hflip(sample: Sample) -> Sample:
@@ -116,14 +128,24 @@ def hflip(sample: Sample) -> Sample:
         out[:, 0] = w - p[:, 0] - 1
         return out
 
-    return dataclasses.replace(sample, image=img, gt_boxes=flip(sample.gt_boxes),
-                               rois=flip(sample.rois),
-                               clicks=flip_pts(sample.clicks),
-                               scribbles=flip(sample.scribbles))
+    from ..structures.masks import FLIP_LEFT_RIGHT
+    return dataclasses.replace(
+        sample, image=img, gt_boxes=flip(sample.gt_boxes),
+        rois=flip(sample.rois),
+        clicks=flip_pts(sample.clicks),
+        scribbles=flip(sample.scribbles),
+        gt_masks=(sample.gt_masks.transpose(FLIP_LEFT_RIGHT)
+                  if sample.gt_masks is not None else None),
+        gt_keypoints=(sample.gt_keypoints.transpose(FLIP_LEFT_RIGHT)
+                      if sample.gt_keypoints is not None else None))
 
 
 def vflip(sample: Sample) -> Sample:
     """Vertical flip (reference transforms.py:87-99, BoxList.transpose(1))."""
+    if sample.gt_keypoints is not None:
+        # Keypoints.transpose only defines FLIP_LEFT_RIGHT (like the
+        # reference keypoint.py:45); fail loudly instead of mis-flipping
+        raise NotImplementedError("vflip with gt_keypoints is undefined")
     img = sample.image
     if isinstance(img, np.ndarray):
         img = img[::-1]
@@ -146,10 +168,14 @@ def vflip(sample: Sample) -> Sample:
         out[:, 1] = h - p[:, 1] - 1
         return out
 
-    return dataclasses.replace(sample, image=img, gt_boxes=flip(sample.gt_boxes),
-                               rois=flip(sample.rois),
-                               clicks=flip_pts(sample.clicks),
-                               scribbles=flip(sample.scribbles))
+    from ..structures.masks import FLIP_TOP_BOTTOM
+    return dataclasses.replace(
+        sample, image=img, gt_boxes=flip(sample.gt_boxes),
+        rois=flip(sample.rois),
+        clicks=flip_pts(sample.clicks),
+        scribbles=flip(sample.scribbles),
+        gt_masks=(sample.gt_masks.transpose(FLIP_TOP_BOTTOM)
+                  if sample.gt_masks is not None else None))
 
 
 def color_jitter(sample: Sample, rng: np.random.RandomState,

@@ -76,6 +76,28 @@ def _unflip_boxes_device(boxes, widths):
 
 
 @jax.jit
+def _flip_batch_device(batch):
+    """Derive a scale's h-flip TTA twin ON DEVICE (VERDICT r4 task 1):
+    mirror each padded image's VALID region (width w_i from image_sizes)
+    and flip the proposals. Bit-exact vs the host-flip EvalTransform —
+    normalization is pixelwise so it commutes with the mirror, and the
+    zero padding stays in place (tests/test_eval_pipeline.py)."""
+    images, boxes = batch.images, batch.boxes
+    b, hh, ww, _ = images.shape
+    w = batch.image_sizes[:, 1]                          # (h, w) order
+    idx = (w[:, None].astype(jnp.int32) - 1
+           - jnp.arange(ww, dtype=jnp.int32)[None, :]) % ww
+    flipped = jnp.take_along_axis(images, idx[:, None, :, None], axis=2)
+    wf = w[:, None]
+    x1 = wf - 1.0 - boxes[..., 2]                        # TO_REMOVE=1
+    x2 = wf - 1.0 - boxes[..., 0]
+    fboxes = jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], -1)
+    # padded slots stay zero (bit-parity with the host-flip collate)
+    fboxes = jnp.where(batch.box_mask[..., None], fboxes, boxes)
+    return batch.replace(images=flipped, boxes=fboxes)
+
+
+@jax.jit
 def _rescale_boxes_device(boxes, rw, rh):
     b, p, k4 = boxes.shape
     bx = boxes.reshape(b, p, -1, 4)
@@ -187,6 +209,24 @@ class Inferencer:
             tuple(cfg.TPU.PROPOSAL_BUCKETS))
         self._fwd = jax.jit(
             lambda v, b: self.model.apply(v, b, train=False))
+        # supervised / retinanet stacks (models.build_model families):
+        # their eval apply returns a dict; masks run as a second jitted
+        # pass on the post-NMS detection boxes (SupervisedRCNN.predict_masks)
+        self.mask_on = bool(getattr(model, "mask_on", False))
+        self._retinanet = model.__class__.__name__ == "RetinaNetDetector"
+        if self._retinanet:
+            self.nms_thresh = cfg.MODEL.RETINANET.NMS_TH
+            self.score_thresh = cfg.MODEL.RETINANET.INFERENCE_TH
+        self._predict_masks = jax.jit(lambda v, b, db, dl: self.model.apply(
+            v, b, db, dl, method="predict_masks"))
+        self._flip_batch = _flip_batch_device
+        # bf16 image upload (TPU.EVAL_TRANSFER_BF16): exact when the model
+        # computes in bf16 (the backbone's first conv casts its input);
+        # halves host->device image bytes — the dominant e2e eval cost on
+        # a tunneled chip (tools/bench_eval_e2e.py)
+        self._transfer_bf16 = bool(
+            getattr(cfg.TPU, "EVAL_TRANSFER_BF16", True)
+            and cfg.TPU.COMPUTE_DTYPE == "bfloat16")
         # static-calibrated int8 serving (TPU.INT8_STATIC): per-layer
         # activation abs-maxes recorded by calibrate() over N eval batches
         # (persisted via save/load_int8_scales), then every eval forward
@@ -240,10 +280,40 @@ class Inferencer:
         k = scores.shape[1] // mask.shape[1]
         return np.tile(np.asarray(mask), (1, k)) if k > 1 else mask
 
+    def _prep_scale(self, tr, samples):
+        """Host work for one TTA scale: transform + collate + (bf16)
+        upload. Runs in the prefetch worker so PIL resizes and the
+        host->device transfer overlap device compute."""
+        t_samples = [tr(s) for s in samples]
+        batch = self.collator(t_samples)
+        if self._transfer_bf16:
+            # EXACT: the backbone casts images to bf16 before the first
+            # conv either way (flax Conv dtype); casting on host (RTNE,
+            # same as device) halves the tunnel bytes
+            import ml_dtypes
+            batch = batch.replace(
+                images=batch.images.astype(ml_dtypes.bfloat16))
+        batch = jax.device_put(batch)
+        sizes = np.array([ts.size for ts in t_samples], np.float32)  # (w,h)
+        return batch, sizes
+
     def predict_samples(self, samples: List[Sample]) -> List[Dict[str, np.ndarray]]:
         """samples: UNtransformed (original) Samples with rois; returns final
         per-image detections in the FIRST transform's coordinate frame
-        (identity scale), like the reference (bbox_aug.py:17-24)."""
+        (identity scale), like the reference (bbox_aug.py:17-24).
+
+        Pipeline design (VERDICT r4 task 1 — the e2e eval fix): the naive
+        loop ran EVERY (scale, flip) transform on host serially with device
+        compute (14 PIL resize+collate+transfer rounds/batch; measured
+        13x the device time on this tunnel). Here (a) each scale's flip
+        twin is derived ON DEVICE (mirroring the normalized image's valid
+        region + proposals commutes with normalization — bit-exact vs the
+        host-flip transform, tests/test_eval_pipeline.py), so hosts
+        prepare only the ~half unflipped scales; (b) images upload as
+        bf16 (exact: the model casts to bf16 at the first conv); (c) a
+        prefetch worker prepares scale s+1 while the device runs scale s.
+        The AVG/UNION merge keeps the reference transform ORDER
+        (bbox_aug.py:26-58), so merged outputs are unchanged."""
         if not self.tta.enabled:
             batch = self.collator(samples)
             scores, boxes = self.forward_batch(batch)
@@ -252,35 +322,59 @@ class Inferencer:
                                   self._match_mask(scores, batch.box_mask))
 
         import jax.numpy as jnp
+        from concurrent import futures
 
         transforms = self.tta.transforms()
+        # group each unflipped scale with its immediately-following flip
+        # twin (the reference emission order, bbox_aug.py:26-51)
+        groups, i = [], 0
+        while i < len(transforms):
+            tr = transforms[i]
+            nxt = transforms[i + 1] if i + 1 < len(transforms) else None
+            if (not tr.flip and nxt is not None and nxt.flip
+                    and nxt.min_size == tr.min_size
+                    and nxt.max_size == tr.max_size):
+                groups.append((tr, True))
+                i += 2
+            else:
+                groups.append((tr, False))
+                i += 1
+
         sum_scores = sum_boxes = None
         union_scores, union_boxes = [], []
         ref_sizes = None  # identity-transform sizes (w,h) per image
         mask0 = None
-        for t_i, tr in enumerate(transforms):
-            t_samples = [tr(s) for s in samples]
-            batch = self.collator(t_samples)
-            scores, boxes = self.forward_batch(batch)
-            sizes = np.array([ts.size for ts in t_samples], np.float32)  # (w,h)
-            if tr.flip:
-                boxes = _unflip_boxes_device(boxes, jnp.asarray(sizes[:, 0]))
-            if t_i == 0:
-                ref_sizes = sizes
-                mask0 = self._match_mask(scores, batch.box_mask)
-                sum_scores = scores
-                sum_boxes = boxes
-            else:
-                # resize each image's boxes to the identity frame (on device)
-                rw = jnp.asarray(ref_sizes[:, 0] / sizes[:, 0])
-                rh = jnp.asarray(ref_sizes[:, 1] / sizes[:, 1])
-                boxes = _rescale_boxes_device(boxes, rw, rh)
-                if self.tta.heur == "AVG":
-                    sum_scores = sum_scores + scores
-                    sum_boxes = sum_boxes + boxes
-            if self.tta.heur == "UNION":  # bbox_aug.py:56-58: concat then NMS
-                union_scores.append(scores)
-                union_boxes.append(boxes)
+        t_i = 0
+        with futures.ThreadPoolExecutor(1) as pool:
+            futs = [pool.submit(self._prep_scale, tr, samples)
+                    for tr, _ in groups]
+            for (tr, has_flip), fut in zip(groups, futs):
+                batch, sizes = fut.result()
+                per_group = [(self.forward_batch(batch), tr.flip)]
+                if has_flip:
+                    fb = self._flip_batch(batch)
+                    per_group.append((self.forward_batch(fb), True))
+                for (scores, boxes), flipped in per_group:
+                    if flipped:
+                        boxes = _unflip_boxes_device(
+                            boxes, jnp.asarray(sizes[:, 0]))
+                    if t_i == 0:
+                        ref_sizes = sizes
+                        mask0 = self._match_mask(scores, batch.box_mask)
+                        sum_scores = scores
+                        sum_boxes = boxes
+                    else:
+                        # resize to the identity frame (on device)
+                        rw = jnp.asarray(ref_sizes[:, 0] / sizes[:, 0])
+                        rh = jnp.asarray(ref_sizes[:, 1] / sizes[:, 1])
+                        boxes = _rescale_boxes_device(boxes, rw, rh)
+                        if self.tta.heur == "AVG":
+                            sum_scores = sum_scores + scores
+                            sum_boxes = sum_boxes + boxes
+                    if self.tta.heur == "UNION":  # bbox_aug.py:56-58
+                        union_scores.append(scores)
+                        union_boxes.append(boxes)
+                    t_i += 1
             # proposal masks coincide across transforms (fixed proposals)
         if self.tta.heur == "UNION":
             n = len(transforms)
@@ -301,11 +395,53 @@ class Inferencer:
             self.nms_thresh, self.score_thresh, self.det_per_img)
         return detections_to_host(*out)
 
+    def predict_batch(self, batch) -> List[Dict[str, np.ndarray]]:
+        """Non-TTA batch -> per-image detections, dispatching on the model
+        family's eval output protocol (tuple: WSOD; dict: supervised RCNN
+        with optional detection-box mask pass; dict+valid: RetinaNet)."""
+        import jax.numpy as jnp
+
+        out = self.forward_batch(batch)
+        if not isinstance(out, dict):
+            scores, boxes = out
+            return self._finalize(np.asarray(scores, np.float32),
+                                  np.asarray(boxes, np.float32),
+                                  self._match_mask(scores, batch.box_mask))
+        if "valid" in out:          # RetinaNet decode -> per-class NMS
+            b, k = out["scores"].shape
+            c = self.model.num_classes
+            sc = jnp.where(out["valid"], out["scores"], 0.0)
+            scores_pc = jnp.zeros((b, k, c), jnp.float32)
+            scores_pc = scores_pc.at[
+                jnp.arange(b)[:, None], jnp.arange(k)[None, :],
+                out["labels"]].set(sc)
+            return self._finalize(scores_pc, out["boxes"],
+                                  jnp.asarray(out["valid"]))
+        # supervised RCNN: softmax scores + per-class decoded boxes
+        tb, ts, tl, tv = finalize_detections_device(
+            jnp.asarray(out["boxes"]).reshape(
+                *out["scores"].shape[:2], -1, 4),
+            jnp.asarray(out["scores"]), jnp.asarray(batch.box_mask),
+            self.nms_thresh, self.score_thresh, self.det_per_img)
+        dets = detections_to_host(tb, ts, tl, tv)
+        if self.mask_on:
+            probs = np.asarray(self._predict_masks(
+                self.variables, batch, tb, tl), np.float32)
+            tvn = np.asarray(tv)
+            for i, d in enumerate(dets):
+                d["mask_probs"] = probs[i][tvn[i]]
+        return dets
+
 
 def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
               task: str = "det", use_cached: bool = True, vis: bool = False,
-              vis_limit: int = 20):
-    """Full dataset inference + evaluation (engine/inference.py:72-135)."""
+              vis_limit: int = 20, timing_out: Optional[dict] = None):
+    """Full dataset inference + evaluation (engine/inference.py:72-135).
+
+    timing_out: when a dict is passed, the prediction-loop wall clock is
+    recorded into it as {"n_images", "wall_s"} (tools/bench_eval_e2e.py) —
+    the loop the reference times in its total_time log line
+    (inference.py:99-112)."""
     from ..evaluation.voc_eval import do_voc_evaluation, do_corloc_evaluation
     from ..evaluation.coco_eval import do_coco_evaluation
     from ..data.voc import PascalVOCDataset
@@ -347,19 +483,26 @@ def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
                                           (info["width"], info["height"]))
                     predictions[int(idx)] = d
             else:
-                scores, boxes = inferencer.forward_batch(batch)
-                dets = inferencer._finalize(np.asarray(scores, np.float32),
-                                            np.asarray(boxes, np.float32),
-                                            np.asarray(batch.box_mask))
+                dets = inferencer.predict_batch(batch)
                 for d, s, idx in zip(dets, samples, idxs):
                     info = dataset.get_img_info(int(idx))
                     d = resize_detections(d, s.size,
                                           (info["width"], info["height"]))
+                    if "mask_probs" in d:
+                        # paste per-roi probs into full-image binary masks
+                        # at the ORIGINAL size (ref Masker flow)
+                        from ..models.mask_head import Masker
+                        d["masks"] = Masker()(d.pop("mask_probs"),
+                                              d["boxes"], info["height"],
+                                              info["width"])
                     predictions[int(idx)] = d
             n_images += len(samples)
         dt = time.time() - t0
         logger.info("Inference: %d images in %.1fs (%.4f s/img)",
                     n_images, dt, dt / max(n_images, 1))
+        if timing_out is not None:
+            timing_out["n_images"] = n_images
+            timing_out["wall_s"] = dt
         predictions = gather_predictions(predictions, len(dataset),
                                          output_folder)
         if predictions is None:         # non-primary process: eval on rank 0

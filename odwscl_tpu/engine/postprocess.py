@@ -44,10 +44,12 @@ def per_class_nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray,
     return batched_nms_mask(boxes_t, scores_t, mask, nms_thresh)
 
 
-@functools.partial(jax.jit, static_argnames=("nms_thresh", "score_thresh", "k"))
+@functools.partial(jax.jit, static_argnames=("nms_thresh", "score_thresh",
+                                              "k", "return_indices"))
 def finalize_detections_device(boxes: jnp.ndarray, scores: jnp.ndarray,
                                box_mask: jnp.ndarray, nms_thresh: float,
-                               score_thresh: float, k: int = 100):
+                               score_thresh: float, k: int = 100,
+                               return_indices: bool = False):
     """Full post-processing on device: per-class NMS + global top-K.
 
     Returns (boxes [B,K,4], scores [B,K], labels [B,K], valid [B,K]) —
@@ -71,6 +73,11 @@ def finalize_detections_device(boxes: jnp.ndarray, scores: jnp.ndarray,
     top_boxes = jnp.take_along_axis(
         boxes_t.reshape(b, c * p, 4), top_idx[..., None], axis=1)
     valid = top_scores > 0.0  # score_thresh already applied via keep mask
+    if return_indices:
+        # source proposal slot per detection — the supervised stack's
+        # detection-box mask pass gathers per-kept-roi mask logits with it
+        return (top_boxes, top_scores, top_labels, valid,
+                (top_idx % p).astype(jnp.int32))
     return top_boxes, top_scores, top_labels, valid
 
 

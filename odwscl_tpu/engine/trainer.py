@@ -42,7 +42,8 @@ def create_train_state(model: WSODDetector, cfg, example_batch: Batch,
         lambda r, b: model.init(r, b, method="init_all"))(
         {"params": p_rng, "augment": a_rng}, example_batch)
     params = variables["params"]
-    cdb_cfg = cfg.SOLVER_CDB if model.db_method == "concrete" else None
+    cdb_cfg = (cfg.SOLVER_CDB if getattr(model, "db_method", "none")
+               == "concrete" else None)
     tx, schedule = make_optimizer(cfg.SOLVER, params, freeze_conv_count,
                                   cdb_cfg, cfg.DB.WEIGHT)
     if cfg.SOLVER.ITER_SIZE > 1:

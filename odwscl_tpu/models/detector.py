@@ -64,6 +64,17 @@ class Batch:
     scribbles: Optional[jnp.ndarray] = None        # [B, S, 4] xyxy
     scribble_labels: Optional[jnp.ndarray] = None  # [B, S] int32
     scribble_mask: Optional[jnp.ndarray] = None    # [B, S] bool
+    # fully-supervised instance GT (MODEL.WSOD_ON=False path; the
+    # reference's per-image BoxList targets, padded to TPU.GT_PAD slots).
+    # None on every WSOD config — the weak path sees image labels only.
+    gt_boxes: Optional[jnp.ndarray] = None         # [B, G, 4] xyxy
+    gt_labels: Optional[jnp.ndarray] = None        # [B, G] int32
+    gt_mask: Optional[jnp.ndarray] = None          # [B, G] bool
+    # MASK_ON: per-instance bitmasks rasterized at collate time at
+    # 1/TPU.MASK_RASTER_STRIDE of the padded canvas (data/collate.py)
+    gt_bitmasks: Optional[jnp.ndarray] = None      # [B, G, Hs, Ws] f32
+    # KEYPOINT_ON: (x, y, visibility) per instance keypoint
+    gt_keypoints: Optional[jnp.ndarray] = None     # [B, G, K, 3] f32
 
 
 class WSODDetector(nn.Module):

@@ -167,8 +167,9 @@ def multilevel_roi_pool(pool_fn, features: Sequence[jnp.ndarray],
     level select keeps the assigned level's result — 4 masked pooler
     calls instead of the reference's dynamic index gather/scatter.
     """
-    k_min = int(-jnp.log2(jnp.asarray(scales[0])))
-    k_max = int(-jnp.log2(jnp.asarray(scales[-1])))
+    import math
+    k_min = int(round(-math.log2(scales[0])))
+    k_max = int(round(-math.log2(scales[-1])))
     levels = assign_levels(boxes, k_min, k_max, canonical_scale)
     out = None
     for li, (feat, scale) in enumerate(zip(features, scales)):

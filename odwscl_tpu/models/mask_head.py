@@ -179,11 +179,16 @@ def mask_rcnn_loss(mask_logits: jnp.ndarray, labels: jnp.ndarray,
 def mask_head_targets(proposals: jnp.ndarray, prop_mask: jnp.ndarray,
                       gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
                       gt_mask: jnp.ndarray, gt_bitmasks: jnp.ndarray,
-                      m: int, fg_iou: float, bg_iou: float):
+                      m: int, fg_iou: float, bg_iou: float,
+                      raster_stride: float = 1.0):
     """Per-image target prep (ref loss.py prepare_targets, batched):
     proposals [P, 4] + prop_mask [P]; gt_boxes [G, 4], gt_labels [G],
     gt_mask [G], gt_bitmasks [G, H, W]. Returns (labels [P], targets
-    [P, m, m], pos_weights [P])."""
+    [P, m, m], pos_weights [P]).
+
+    raster_stride: gt_bitmasks may be rasterized at 1/stride of the image
+    canvas (TPU.MASK_RASTER_STRIDE, data/collate.py) — matching still uses
+    image-frame boxes; only the bitmask crop rescales into raster frame."""
     iou = masked_iou(gt_boxes, gt_mask, proposals, prop_mask)   # [G, P]
     matched = match_proposals(iou, gt_mask, fg_iou, bg_iou)     # [P]
     labels = jnp.where(matched >= 0,
@@ -191,7 +196,7 @@ def mask_head_targets(proposals: jnp.ndarray, prop_mask: jnp.ndarray,
     labels = jnp.where(prop_mask, labels, 0).astype(jnp.int32)
     pos = (labels > 0) & prop_mask
     targets = crop_resize_bitmasks(gt_bitmasks, jnp.clip(matched, 0),
-                                   proposals, m)
+                                   proposals / raster_stride, m)
     targets = jnp.where(pos[:, None, None], targets, 0.0)
     return labels, targets, pos.astype(jnp.float32)
 

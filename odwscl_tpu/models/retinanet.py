@@ -243,3 +243,108 @@ def retinanet_decode(anchors: jnp.ndarray, logits: jnp.ndarray,
                        jnp.clip(boxes[..., 3], 0, h - 1)], axis=-1)
     valid = scores > score_thresh
     return boxes, scores, label.astype(jnp.int32), valid
+
+
+# ---------------------------------------------------------------------------
+# full detector (RetinaNetModule, retinanet.py:88-144) — built from cfg by
+# models.build_model when MODEL.RETINANET_ON=True (VERDICT r4 task 2)
+# ---------------------------------------------------------------------------
+
+class RetinaNetDetector(nn.Module):
+    """P3-P7 FPN backbone + shared-tower head + batched loss/decode over a
+    padded Batch. Train: (losses, metrics) like the other detectors
+    (engine/trainer.py drives it unchanged); eval: decoded top-K
+    detections dict (engine finalizes with the masked per-class NMS)."""
+
+    num_classes: int = 81               # including background
+    depth: str = "R-50"
+    use_c5: bool = True
+    anchor_sizes: Sequence[float] = (32, 64, 128, 256, 512)
+    anchor_strides: Sequence[int] = (8, 16, 32, 64, 128)
+    aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    octave: float = 2.0
+    scales_per_octave: int = 3
+    num_convs: int = 4
+    prior_prob: float = 0.01
+    fg_iou: float = 0.5
+    bg_iou: float = 0.4
+    loss_gamma: float = 2.0
+    loss_alpha: float = 0.25
+    reg_beta: float = 0.11
+    reg_norm: float = 4.0               # BBOX_REG_WEIGHT
+    score_thresh: float = 0.05          # INFERENCE_TH
+    pre_nms_top_n: int = 1000
+    compute_dtype: str = "bfloat16"
+
+    def setup(self):
+        from .fpn import ResNetFPNP3P7Backbone
+        dtype = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        self.backbone = ResNetFPNP3P7Backbone(depth=self.depth,
+                                              use_c5=self.use_c5,
+                                              compute_dtype=dtype)
+        self.head = RetinaNetHead(
+            num_classes=self.num_classes,
+            num_anchors=len(self.aspect_ratios) * self.scales_per_octave,
+            num_convs=self.num_convs, prior_prob=self.prior_prob,
+            compute_dtype=dtype)
+
+    def _forward_dense(self, batch):
+        feats = self.backbone(batch.images)
+        logits_l, bbox_l = self.head(feats)
+        logits, bbox = flatten_head_outputs(logits_l, bbox_l,
+                                            self.num_classes - 1)
+        grid_sizes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = jnp.concatenate(pyramid_anchors(
+            grid_sizes, tuple(self.anchor_strides),
+            tuple(self.anchor_sizes), tuple(self.aspect_ratios),
+            self.octave, self.scales_per_octave))
+        return anchors, logits, bbox
+
+    def __call__(self, batch, train: bool = False, calibrate: bool = False):
+        anchors, logits, bbox = self._forward_dense(batch)
+        if not train:
+            boxes, scores, labels, valid = retinanet_decode(
+                anchors, logits, bbox,
+                batch.image_sizes[:, ::-1],     # (h,w) -> (w,h)
+                self.score_thresh, self.pre_nms_top_n)
+            return {"boxes": boxes, "scores": scores, "labels": labels,
+                    "valid": valid}
+        if batch.gt_boxes is None:
+            raise ValueError("RetinaNet training needs Batch gt_boxes "
+                             "(collate include_gt)")
+        labels, reg = jax.vmap(
+            lambda gb, gl, gm: retinanet_targets(anchors, gb, gl, gm,
+                                                 self.fg_iou, self.bg_iou)
+        )(batch.gt_boxes, batch.gt_labels, batch.gt_mask)
+        cls_loss, reg_loss = retinanet_loss(
+            logits, bbox, labels, reg, self.reg_beta, self.reg_norm,
+            self.loss_gamma, self.loss_alpha)
+        losses = {"loss_retina_cls": cls_loss, "loss_retina_reg": reg_loss}
+        metrics = {"n_pos_anchors": (labels > 0).sum().astype(jnp.float32)}
+        return losses, metrics
+
+    def init_all(self, batch):
+        """Eval forward touches every submodule (engine/trainer.py
+        create_train_state initializer protocol)."""
+        return self(batch, train=False)
+
+
+def retinanet_from_cfg(cfg) -> RetinaNetDetector:
+    r = cfg.MODEL.RETINANET
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    # accept both the FPN-RETINANET registry names and bare R-50/R-101
+    depth = "-".join(body.split("-")[:2]) if body.startswith("R-") else "R-50"
+    return RetinaNetDetector(
+        num_classes=r.NUM_CLASSES, depth=depth, use_c5=r.USE_C5,
+        anchor_sizes=tuple(r.ANCHOR_SIZES),
+        anchor_strides=tuple(r.ANCHOR_STRIDES),
+        aspect_ratios=tuple(r.ASPECT_RATIOS), octave=r.OCTAVE,
+        scales_per_octave=r.SCALES_PER_OCTAVE, num_convs=r.NUM_CONVS,
+        prior_prob=r.PRIOR_PROB, fg_iou=r.FG_IOU_THRESHOLD,
+        bg_iou=r.BG_IOU_THRESHOLD, loss_gamma=r.LOSS_GAMMA,
+        loss_alpha=r.LOSS_ALPHA, reg_beta=r.BBOX_REG_BETA,
+        reg_norm=r.BBOX_REG_WEIGHT, score_thresh=r.INFERENCE_TH,
+        pre_nms_top_n=r.PRE_NMS_TOP_N,
+        compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+    )

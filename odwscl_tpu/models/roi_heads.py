@@ -69,6 +69,10 @@ class CombinedROIHeads(nn.Module):
     keypoint_on: bool = False
     num_keypoints: int = 17
     mask_resolution: int = 14         # ROI_MASK_HEAD.RESOLUTION
+    mask_conv_layers: tuple = (256, 256, 256, 256)
+    mask_dilation: int = 1
+    # gt_bitmasks raster scale (TPU.MASK_RASTER_STRIDE, data/collate.py)
+    mask_raster_stride: float = 1.0
     fg_iou: float = 0.5
     bg_iou: float = 0.5
     batch_size_per_image: int = 512
@@ -81,6 +85,8 @@ class CombinedROIHeads(nn.Module):
                                       self.compute_dtype, name="box")
         if self.mask_on:
             self.mask = MaskHead(self.num_classes,
+                                 conv_layers=self.mask_conv_layers,
+                                 dilation=self.mask_dilation,
                                  compute_dtype=self.compute_dtype,
                                  name="mask")
         if self.keypoint_on:
@@ -88,9 +94,25 @@ class CombinedROIHeads(nn.Module):
                                          compute_dtype=self.compute_dtype,
                                          name="keypoint")
 
+    def mask_probs(self, pooled_flat, labels):
+        """Detection-box mask pass (ref mask_head/inference.py:38-44 —
+        the mask head runs on POST-NMS detections): pooled features at
+        the kept boxes [N, r, r, C] + predicted labels [N] -> per-label
+        sigmoid probs [N, M, M]."""
+        mlog = self.mask(pooled_flat)
+        n = mlog.shape[0]
+        sel = mlog[jnp.arange(n), :, :, jnp.clip(labels, 0)]
+        return jax.nn.sigmoid(sel)
+
+    def kp_heatmaps(self, pooled_flat):
+        """Detection-box keypoint pass: [N, r, r, C] -> logits
+        [N, H, H, K] (host decode: keypoint_head.heatmaps_to_keypoints)."""
+        return self.keypoint(pooled_flat)
+
     def __call__(self, pooled, boxes, box_mask, gt_boxes=None,
                  gt_labels=None, gt_mask=None, train: bool = False,
-                 gt_bitmasks=None, gt_keypoints=None):
+                 gt_bitmasks=None, gt_keypoints=None,
+                 include_aux: bool = True):
         b, p = pooled.shape[:2]
         flat = pooled.reshape(b * p, *pooled.shape[2:])
         feats = self.neck(flat, train=train).reshape(b, p, -1)
@@ -100,10 +122,14 @@ class CombinedROIHeads(nn.Module):
             scores = jax.nn.softmax(cls_logits, axis=-1)
             decoded = decode_boxes(box_reg, boxes)
             out = {"scores": scores, "boxes": decoded}
-            if self.mask_on:
+            # include_aux=False: the engine's box pass skips the per-
+            # proposal aux logits ([B,P,M,M,C] at P=2048 is GBs); masks/
+            # keypoints run on post-NMS detections via mask_probs/
+            # kp_heatmaps instead (SupervisedRCNN.predict_masks)
+            if self.mask_on and include_aux:
                 mlog = self.mask(flat)
                 out["mask_logits"] = mlog.reshape(b, p, *mlog.shape[1:])
-            if self.keypoint_on:
+            if self.keypoint_on and include_aux:
                 kp = self.keypoint(flat)
                 out["kp_logits"] = kp.reshape(b, p, *kp.shape[1:])
             return out
@@ -130,7 +156,8 @@ class CombinedROIHeads(nn.Module):
             for i in range(b):      # static python loop over batch
                 lab, t, pos = mask_head_targets(
                     boxes[i], box_mask[i], gt_boxes[i], gt_labels[i],
-                    gt_mask[i], gt_bitmasks[i], m, self.fg_iou, self.bg_iou)
+                    gt_mask[i], gt_bitmasks[i], m, self.fg_iou, self.bg_iou,
+                    raster_stride=self.mask_raster_stride)
                 ml.append(lab), mt.append(t), mp.append(pos)
             losses["loss_mask"] = mask_rcnn_loss(
                 mlog, jnp.concatenate(ml), jnp.concatenate(mt),

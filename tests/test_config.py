@@ -46,7 +46,9 @@ def test_all_shipped_configs_parse():
     for f in files:
         cfg = get_default_cfg()
         cfg.merge_from_file(f)
-        assert cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES in (21, 81)
+        # 21/81: VOC/COCO paper configs; 7: the synthetic-COCO supervised
+        # smoke configs (tools/make_synthetic_coco.py, 6 categories + bg)
+        assert cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES in (21, 81, 7)
 
 
 def test_tuple_coercion():

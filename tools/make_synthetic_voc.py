@@ -79,7 +79,8 @@ def make_split(root, split, ids, rng, n_props=64, img_hw=(120, 144)):
     return boxes_list, ids_list
 
 
-def main(out="/tmp/synth_voc", n_train=8, n_test=4, seed=0):
+def main(out="/tmp/synth_voc", n_train=8, n_test=4, seed=0,
+         img_hw=(120, 144), n_props=64):
     from odwscl_tpu.data.proposals import write_proposal_pickle
 
     rng = np.random.RandomState(seed)
@@ -87,11 +88,12 @@ def main(out="/tmp/synth_voc", n_train=8, n_test=4, seed=0):
     train_ids = [f"{i:06d}" for i in range(1, n_train + 1)]
     test_ids = [f"{i:06d}" for i in range(n_train + 1, n_train + n_test + 1)]
     os.makedirs(os.path.join(out, "proposal"), exist_ok=True)
-    b, i = make_split(root, "trainval", train_ids, rng)
+    b, i = make_split(root, "trainval", train_ids, rng, n_props, img_hw)
     write_proposal_pickle(os.path.join(out, "proposal", "SS-voc07_trainval.pkl"), b, i)
-    b, i = make_split(root, "test", test_ids, rng)
+    b, i = make_split(root, "test", test_ids, rng, n_props, img_hw)
     write_proposal_pickle(os.path.join(out, "proposal", "SS-voc07_test.pkl"), b, i)
-    print(f"synthetic VOC at {out}: {n_train} train, {n_test} test")
+    print(f"synthetic VOC at {out}: {n_train} train, {n_test} test "
+          f"({img_hw[0]}x{img_hw[1]}, {n_props} proposals)")
     return out
 
 
@@ -101,5 +103,9 @@ if __name__ == "__main__":
     ap.add_argument("--n-train", type=int, default=8)
     ap.add_argument("--n-test", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    # realistic-VOC knobs for the e2e eval bench (tools/bench_eval_e2e.py)
+    ap.add_argument("--img-h", type=int, default=120)
+    ap.add_argument("--img-w", type=int, default=144)
+    ap.add_argument("--n-props", type=int, default=64)
     a = ap.parse_args()
-    main(a.out, a.n_train, a.n_test, a.seed)
+    main(a.out, a.n_train, a.n_test, a.seed, (a.img_h, a.img_w), a.n_props)

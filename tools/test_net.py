@@ -31,7 +31,7 @@ def main():
 
     from odwscl_tpu.config import get_default_cfg
     from odwscl_tpu.utils import setup_logger, mkdir, Checkpointer
-    from odwscl_tpu.models import detector_from_cfg
+    from odwscl_tpu.models import build_model
     from odwscl_tpu.data import make_eval_loaders
     from odwscl_tpu.engine.inference import inference
     from odwscl_tpu.engine.trainer import create_train_state
@@ -53,7 +53,7 @@ def main():
     logger = setup_logger("odwscl_tpu", save_dir, jax.process_index())
     logger.info("Devices: %s", jax.devices())
 
-    model = detector_from_cfg(cfg)
+    model = build_model(cfg)
     loaders = make_eval_loaders(cfg, args.data_root,
                                 jax.process_count(), jax.process_index())
     # init params on a tiny synthetic batch, then load the checkpoint

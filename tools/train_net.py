@@ -106,7 +106,7 @@ def main():
     save_config(cfg, os.path.join(cfg.OUTPUT_DIR, "config.yml"))
     seed_all_rng(cfg.SEED + jax.process_index())
 
-    from odwscl_tpu.models import detector_from_cfg
+    from odwscl_tpu.models import build_model
     from odwscl_tpu.models.vgg16 import FREEZE_CONV_COUNTS
     from odwscl_tpu.data import make_train_loader
     from odwscl_tpu.engine.trainer import create_train_state, do_train
@@ -115,7 +115,7 @@ def main():
                                                 import_reference_checkpoint)
     from odwscl_tpu.config.catalog import ModelCatalog
 
-    model = detector_from_cfg(cfg)
+    model = build_model(cfg)
 
     def build_loader(start_iter):
         return make_train_loader(cfg, start_iter=start_iter,

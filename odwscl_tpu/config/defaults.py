@@ -251,6 +251,11 @@ _C.TPU.INT8_STATIC = False
 # largest serving resolution).
 _C.TPU.INT8_CALIB_BATCHES = 2
 
+# Conv indices (VGG16-OICR layer numbering, 2..12) kept in bf16 inside the
+# int8 serving stack — selective fallback for the most drift-sensitive
+# layers as ranked by tests/test_int8_eval.py. Empty = quantize all.
+_C.TPU.INT8_BF16_LAYERS = ()
+
 # Space-to-depth first VGG block (ops/s2d_stem.py): conv1_1 as a K=108
 # im2col GEMM on the space-to-depth input (a C_in=3 direct conv leaves
 # ~97% of the MXU's 128 K-lanes zero) and conv1_2+pool1 as one
@@ -268,6 +273,18 @@ _C.TPU.S2D_STEM = True
 # on a tunneled chip (tools/bench_eval_e2e.py measured the host/transfer
 # side at >10x the device compute before the round-5 pipeline fix).
 _C.TPU.EVAL_TRANSFER_BF16 = True
+
+# TTA serving fast path (engine/inference.py): upload each eval batch's
+# ORIGINAL images once (at the identity scale) and derive every other
+# TTA scale ON DEVICE with an antialiased triangle-filter resize built as
+# two matmuls (ops/device_resize.py) — PIL.BILINEAR-convention weights,
+# so pixels match the host path to ~1e-2 and the merged detections to
+# sub-pixel (tests/test_device_resize.py). Cuts host->device image bytes
+# ~7x (one scale instead of all) and removes the per-scale host PIL
+# resizes from the loop. OFF by default: the reference-parity path
+# resizes on host with PIL (bbox_aug.py:27-35); this is the labeled
+# serving mode, like TPU.INT8_*.
+_C.TPU.EVAL_DEVICE_RESIZE = False
 
 # Padded per-image GT-instance slots in a supervised Batch (gt_boxes
 # [B, GT_PAD, 4] + mask; the reference's ragged BoxList targets). Images

@@ -64,6 +64,75 @@ class TTAConfig:
         return out
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _eval_forward(model, variables, batch):
+    """Module-level jitted eval forward, keyed on the (hashable) flax
+    module — every Inferencer for the same model shares one trace/
+    executable, so fresh Inferencer instances (one per inference() call)
+    don't retrace (tools/bench_eval_e2e.py steady-pass cost)."""
+    return model.apply(variables, batch, train=False)
+
+
+@partial(jax.jit,
+         static_argnames=("model", "si", "canvas", "has_flip", "first"))
+def _fused_scale_step(model, variables, base, in_hw, tgt_all, sums_s,
+                      sums_b, *, si, canvas, has_flip, first):
+    """One fused dispatch for one TTA scale group of the device-resize
+    AVG path: resize -> forward -> device-flip twin -> forward -> unflip
+    -> rescale-to-identity -> accumulate. On a high-latency link
+    (~36 ms/dispatch through the axon tunnel, NOTES.md) the unfused
+    loop's ~8 dispatches per scale dominate the steady eval wall.
+
+    tgt_all [S+1, B, 2]: row si is this scale's per-image (h, w) target,
+    row -1 the identity target (one upload per batch — per-scale
+    small-array uploads each pay a tunnel round trip)."""
+    from ..ops.device_resize import resize_image_batch, scale_boxes_batch
+
+    tgt = tgt_all[si]
+    ref_wh = tgt_all[-1][:, ::-1]
+    images = resize_image_batch(base.images, in_hw, tgt, canvas)
+    bxs = scale_boxes_batch(base.boxes, in_hw, tgt)
+    batch = base.replace(images=images, boxes=bxs, image_sizes=tgt)
+    outs = [model.apply(variables, batch, train=False) + (False,)]
+    if has_flip:
+        fb = _flip_batch_device(batch)
+        outs.append(model.apply(variables, fb, train=False) + (True,))
+    rw = ref_wh[:, 0] / tgt[:, 1]
+    rh = ref_wh[:, 1] / tgt[:, 0]
+    for s_, b_, flipped in outs:
+        if flipped:
+            b_ = _unflip_boxes_device(b_, tgt[:, 1])
+        b_ = _rescale_boxes_device(b_, rw, rh)
+        if first:
+            sums_s, sums_b, first = s_, b_, False
+        else:
+            sums_s = sums_s + s_
+            sums_b = sums_b + b_
+    return sums_s, sums_b
+
+
+def _tta_groups(transforms):
+    """Group each unflipped scale with its immediately-following flip twin
+    (the reference emission order, bbox_aug.py:26-51); the twin is derived
+    on device (_flip_batch_device)."""
+    groups, i = [], 0
+    while i < len(transforms):
+        tr = transforms[i]
+        nxt = transforms[i + 1] if i + 1 < len(transforms) else None
+        if (not tr.flip and nxt is not None and nxt.flip
+                and nxt.min_size == tr.min_size
+                and nxt.max_size == tr.max_size):
+            groups.append((tr, True))
+            i += 2
+        else:
+            groups.append((tr, False))
+            i += 1
+    return groups
+
+
 @jax.jit
 def _unflip_boxes_device(boxes, widths):
     """boxes [B,P,4K]; widths [B]. BoxList.transpose(0) semantics."""
@@ -207,8 +276,7 @@ class Inferencer:
             cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
             cfg.DATALOADER.SIZE_DIVISIBILITY, cfg.TPU.IMAGE_PAD_MULTIPLE,
             tuple(cfg.TPU.PROPOSAL_BUCKETS))
-        self._fwd = jax.jit(
-            lambda v, b: self.model.apply(v, b, train=False))
+        self._fwd = partial(_eval_forward, self.model)
         # supervised / retinanet stacks (models.build_model families):
         # their eval apply returns a dict; masks run as a second jitted
         # pass on the post-NMS detection boxes (SupervisedRCNN.predict_masks)
@@ -235,6 +303,18 @@ class Inferencer:
         self._needs_calib = bool(cfg.TPU.INT8_STATIC
                                  and cfg.TPU.INT8_EVAL_CONVS
                                  and "quant" not in variables)
+        # TTA serving fast path (TPU.EVAL_DEVICE_RESIZE): upload the
+        # original normalized images once and derive every TTA scale on
+        # device (ops/device_resize.py) — labeled mode, not the
+        # reference-parity host-PIL path (see config/defaults.py)
+        self._device_resize = bool(
+            getattr(cfg.TPU, "EVAL_DEVICE_RESIZE", False))
+        self._pad_multiple = cfg.TPU.IMAGE_PAD_MULTIPLE
+
+        # fused per-scale TTA step for the device-resize AVG path — the
+        # module-level _fused_scale_step, shared across Inferencer
+        # instances of the same model (no retrace per inference() call)
+        self._fused_scale = partial(_fused_scale_step, self.model)
         self._calib = jax.jit(lambda v, b: self.model.apply(
             v, b, train=False, calibrate=True, mutable=["quant"]))
 
@@ -297,7 +377,95 @@ class Inferencer:
         sizes = np.array([ts.size for ts in t_samples], np.float32)  # (w,h)
         return batch, sizes
 
-    def predict_samples(self, samples: List[Sample]) -> List[Dict[str, np.ndarray]]:
+    def _host_prep_batches(self, groups, samples):
+        """Generator over (batch, sizes) per TTA group — host PIL resize +
+        collate per scale, prefetched one scale ahead of device compute."""
+        from concurrent import futures
+        with futures.ThreadPoolExecutor(1) as pool:
+            futs = [pool.submit(self._prep_scale, tr, samples)
+                    for tr, _ in groups]
+            for fut in futs:
+                yield fut.result()
+
+    def _prep_base(self, samples):
+        """Original-size normalized batch (no resize/flip), uploaded once —
+        the single host->device image transfer of the device-resize path."""
+        from ..data.transforms import to_array, normalize
+
+        base_samples = [normalize(to_array(s), self.tta.pixel_mean,
+                                  self.tta.pixel_std, self.tta.to_bgr255)
+                        for s in samples]
+        base = self.collator(base_samples)
+        if self._transfer_bf16:
+            import ml_dtypes
+            base = base.replace(images=base.images.astype(ml_dtypes.bfloat16))
+        base = jax.device_put(base)
+        in_hw = np.array([[s.size[1], s.size[0]] for s in samples],
+                         np.float32)
+        return base, in_hw
+
+    def _scale_targets(self, tr, samples):
+        """Per-image (h, w) targets for one TTA scale + the static padded
+        canvas (same rounding rule as the collator)."""
+        import math
+        from ..data.transforms import get_resize_size
+        tgt = np.array([get_resize_size(s.size, tr.min_size, tr.max_size)
+                        for s in samples], np.float32)            # (h, w)
+        m = self._pad_multiple
+        canvas = (int(math.ceil(tgt[:, 0].max() / m) * m),
+                  int(math.ceil(tgt[:, 1].max() / m) * m))
+        return tgt, canvas
+
+    def _device_resize_batches(self, groups, samples):
+        """Generator over (batch, sizes) per TTA group — the
+        TPU.EVAL_DEVICE_RESIZE fast path: ONE upload of the original
+        normalized images, every scale derived on device by the
+        PIL-convention matmul resampler (ops/device_resize.py). Used by
+        the UNION heuristic; AVG takes the fused path (_fused_scale)."""
+        import jax.numpy as jnp
+        from ..ops.device_resize import resize_image_batch, scale_boxes_batch
+
+        base, in_hw = self._prep_base(samples)
+        in_hw_dev = jnp.asarray(in_hw)
+        for tr, _ in groups:
+            tgt, canvas = self._scale_targets(tr, samples)
+            tgt_dev = jnp.asarray(tgt)
+            images = resize_image_batch(base.images, in_hw_dev, tgt_dev,
+                                        canvas)
+            boxes = scale_boxes_batch(base.boxes, in_hw_dev, tgt_dev)
+            batch = base.replace(images=images, boxes=boxes,
+                                 image_sizes=tgt_dev)
+            yield batch, tgt[:, ::-1]                             # (w, h)
+
+    def _predict_samples_fused(self, samples, transforms, groups,
+                               prepped_base=None):
+        """Device-resize + AVG: one fused dispatch per scale group.
+        ``prepped_base``: optional (base, in_hw) from _prep_base, prepared
+        by a prefetch thread while the device ran the previous batch
+        (inference() below) — host prep+upload then overlaps compute."""
+        import jax.numpy as jnp
+
+        base, in_hw = (prepped_base if prepped_base is not None
+                       else self._prep_base(samples))
+        in_hw_dev = jnp.asarray(in_hw)
+        tgts, canvases = zip(*(self._scale_targets(tr, samples)
+                               for tr, _ in groups))
+        tgt0, _ = self._scale_targets(transforms[0], samples)
+        tgt_all = jnp.asarray(np.stack(list(tgts) + [tgt0]))
+        sums_s = sums_b = jnp.zeros(())
+        first = True
+        for si, ((tr, has_flip), canvas) in enumerate(zip(groups, canvases)):
+            sums_s, sums_b = self._fused_scale(
+                self.variables, base, in_hw_dev, tgt_all,
+                sums_s, sums_b, si=si, canvas=canvas, has_flip=has_flip,
+                first=first)
+            first = False
+        n = len(transforms)
+        mask = self._match_mask(sums_s, base.box_mask)
+        return self._finalize(sums_s / n, sums_b / n, mask)
+
+    def predict_samples(self, samples: List[Sample],
+                        prepped_base=None) -> List[Dict[str, np.ndarray]]:
         """samples: UNtransformed (original) Samples with rois; returns final
         per-image detections in the FIRST transform's coordinate frame
         (identity scale), like the reference (bbox_aug.py:17-24).
@@ -322,60 +490,52 @@ class Inferencer:
                                   self._match_mask(scores, batch.box_mask))
 
         import jax.numpy as jnp
-        from concurrent import futures
 
         transforms = self.tta.transforms()
-        # group each unflipped scale with its immediately-following flip
-        # twin (the reference emission order, bbox_aug.py:26-51)
-        groups, i = [], 0
-        while i < len(transforms):
-            tr = transforms[i]
-            nxt = transforms[i + 1] if i + 1 < len(transforms) else None
-            if (not tr.flip and nxt is not None and nxt.flip
-                    and nxt.min_size == tr.min_size
-                    and nxt.max_size == tr.max_size):
-                groups.append((tr, True))
-                i += 2
-            else:
-                groups.append((tr, False))
-                i += 1
+        groups = _tta_groups(transforms)
+        if self._device_resize and self.tta.heur == "AVG":
+            if self._needs_calib:
+                # int8 static calibration sweeps the host path once
+                self.calibrate([(None, samples, None)], 1)
+            return self._predict_samples_fused(samples, transforms, groups,
+                                               prepped_base)
+        if self._device_resize:
+            batches = self._device_resize_batches(groups, samples)
+        else:
+            batches = self._host_prep_batches(groups, samples)
 
         sum_scores = sum_boxes = None
         union_scores, union_boxes = [], []
         ref_sizes = None  # identity-transform sizes (w,h) per image
         mask0 = None
         t_i = 0
-        with futures.ThreadPoolExecutor(1) as pool:
-            futs = [pool.submit(self._prep_scale, tr, samples)
-                    for tr, _ in groups]
-            for (tr, has_flip), fut in zip(groups, futs):
-                batch, sizes = fut.result()
-                per_group = [(self.forward_batch(batch), tr.flip)]
-                if has_flip:
-                    fb = self._flip_batch(batch)
-                    per_group.append((self.forward_batch(fb), True))
-                for (scores, boxes), flipped in per_group:
-                    if flipped:
-                        boxes = _unflip_boxes_device(
-                            boxes, jnp.asarray(sizes[:, 0]))
-                    if t_i == 0:
-                        ref_sizes = sizes
-                        mask0 = self._match_mask(scores, batch.box_mask)
-                        sum_scores = scores
-                        sum_boxes = boxes
-                    else:
-                        # resize to the identity frame (on device)
-                        rw = jnp.asarray(ref_sizes[:, 0] / sizes[:, 0])
-                        rh = jnp.asarray(ref_sizes[:, 1] / sizes[:, 1])
-                        boxes = _rescale_boxes_device(boxes, rw, rh)
-                        if self.tta.heur == "AVG":
-                            sum_scores = sum_scores + scores
-                            sum_boxes = sum_boxes + boxes
-                    if self.tta.heur == "UNION":  # bbox_aug.py:56-58
-                        union_scores.append(scores)
-                        union_boxes.append(boxes)
-                    t_i += 1
-            # proposal masks coincide across transforms (fixed proposals)
+        for (tr, has_flip), (batch, sizes) in zip(groups, batches):
+            per_group = [(self.forward_batch(batch), tr.flip)]
+            if has_flip:
+                fb = self._flip_batch(batch)
+                per_group.append((self.forward_batch(fb), True))
+            for (scores, boxes), flipped in per_group:
+                if flipped:
+                    boxes = _unflip_boxes_device(
+                        boxes, jnp.asarray(sizes[:, 0]))
+                if t_i == 0:
+                    ref_sizes = sizes
+                    mask0 = self._match_mask(scores, batch.box_mask)
+                    sum_scores = scores
+                    sum_boxes = boxes
+                else:
+                    # resize to the identity frame (on device)
+                    rw = jnp.asarray(ref_sizes[:, 0] / sizes[:, 0])
+                    rh = jnp.asarray(ref_sizes[:, 1] / sizes[:, 1])
+                    boxes = _rescale_boxes_device(boxes, rw, rh)
+                    if self.tta.heur == "AVG":
+                        sum_scores = sum_scores + scores
+                        sum_boxes = sum_boxes + boxes
+                if self.tta.heur == "UNION":  # bbox_aug.py:56-58
+                    union_scores.append(scores)
+                    union_boxes.append(boxes)
+                t_i += 1
+        # proposal masks coincide across transforms (fixed proposals)
         if self.tta.heur == "UNION":
             n = len(transforms)
             scores_u = jnp.concatenate(union_scores, axis=1)
@@ -471,15 +631,46 @@ def inference(model, variables, cfg, eval_loader, dataset, output_folder=None,
         predictions = {}
         t0 = time.time()
         n_images = 0
-        for batch, samples, idxs in eval_loader:
+        use_prefetch = (cfg.TEST.BBOX_AUG.ENABLED
+                        and inferencer._device_resize
+                        and inferencer.tta.heur == "AVG"
+                        and not inferencer._needs_calib)
+        if use_prefetch:
+            # overlap the next batch's host prep + base upload with this
+            # batch's device compute (one-step lookahead)
+            from concurrent import futures as _futures
+            _pool = _futures.ThreadPoolExecutor(1)
+
+            def _iter():
+                prev = None
+                for item in eval_loader:
+                    fut = _pool.submit(inferencer._prep_base, item[1])
+                    if prev is not None:
+                        yield prev[0] + (prev[1].result(),)
+                    prev = (item, fut)
+                if prev is not None:
+                    yield prev[0] + (prev[1].result(),)
+                _pool.shutdown()
+
+            loop_iter = _iter()
+        else:
+            loop_iter = ((batch, samples, idxs, None)
+                         for batch, samples, idxs in eval_loader)
+        for batch, samples, idxs, prepped in loop_iter:
             if cfg.TEST.BBOX_AUG.ENABLED:
-                dets = inferencer.predict_samples(samples)
-                # identity frame -> original image frame
+                dets = inferencer.predict_samples(samples, prepped)
+                # identity frame -> original image frame. The identity
+                # size follows from the resize RULE alone — computing it
+                # via get_resize_size avoids a full per-image PIL
+                # resize+normalize that the old tr0(s) call paid just to
+                # read .size (tools/bench_eval_e2e.py host-side cost)
+                from ..data.transforms import get_resize_size
+                tr0 = inferencer.tta.transforms()[0]
                 for d, s, idx in zip(dets, samples, idxs):
-                    tr0 = inferencer.tta.transforms()[0]
-                    t0s = tr0(s)
+                    oh, ow = get_resize_size(s.size, tr0.min_size,
+                                             tr0.max_size)
                     info = dataset.get_img_info(int(idx))
-                    d = resize_detections(d, t0s.size,
+                    d = resize_detections(d, (ow, oh),
                                           (info["width"], info["height"]))
                     predictions[int(idx)] = d
             else:

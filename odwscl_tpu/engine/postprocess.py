@@ -82,11 +82,16 @@ def finalize_detections_device(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 
 def detections_to_host(top_boxes, top_scores, top_labels, valid):
-    """[B,K,...] device detections -> list of per-image dicts."""
-    tb = np.asarray(top_boxes, np.float32)
-    ts = np.asarray(top_scores, np.float32)
-    tl = np.asarray(top_labels, np.int64)
-    tv = np.asarray(valid)
+    """[B,K,...] device detections -> list of per-image dicts. One
+    device_get for all four arrays — separate np.asarray() calls each pay
+    a full host<->device round trip (latency-bound on a tunneled chip)."""
+    import jax
+    tb, ts, tl, tv = jax.device_get((top_boxes, top_scores, top_labels,
+                                     valid))
+    tb = np.asarray(tb, np.float32)
+    ts = np.asarray(ts, np.float32)
+    tl = np.asarray(tl, np.int64)
+    tv = np.asarray(tv)
     out = []
     for i in range(tb.shape[0]):
         sel = tv[i]

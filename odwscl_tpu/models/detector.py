@@ -122,6 +122,7 @@ class WSODDetector(nn.Module):
     int8_eval: bool = False           # TPU.INT8_EVAL: quantized serving path
     int8_eval_convs: bool = False     # TPU.INT8_EVAL_CONVS: int8 conv stack
     int8_static: bool = False         # TPU.INT8_STATIC: calibrated scales
+    int8_bf16_layers: Tuple[int, ...] = ()  # TPU.INT8_BF16_LAYERS fallback
     s2d_stem: bool = False            # TPU.S2D_STEM: exact s2d first block
     neck_dropout: float = 0.5         # fc6/fc7 dropout (vgg16.py classifier)
     # FASTER_RCNN=True: CAM-attention proposal generation instead of
@@ -152,6 +153,7 @@ class WSODDetector(nn.Module):
                                         compute_dtype=dtype,
                                         int8_eval=self.int8_eval_convs,
                                         int8_static=self.int8_static,
+                                        int8_bf16_layers=self.int8_bf16_layers,
                                         s2d_stem=self.s2d_stem,
                                         freeze_at=self.freeze_convs)
             self.neck = VGGRoINeck(hidden_dim=self.mlp_dim, compute_dtype=dtype,
@@ -533,6 +535,7 @@ def detector_from_cfg(cfg) -> WSODDetector:
         int8_eval=cfg.TPU.INT8_EVAL,
         int8_eval_convs=cfg.TPU.INT8_EVAL_CONVS,
         int8_static=cfg.TPU.INT8_STATIC,
+        int8_bf16_layers=tuple(cfg.TPU.INT8_BF16_LAYERS),
         s2d_stem=cfg.TPU.S2D_STEM,
         faster_rcnn=cfg.MODEL.FASTER_RCNN,
         rpn_post_nms=cfg.TPU.RPN_POST_NMS,

@@ -109,6 +109,9 @@ class VGGBackbone(nn.Module):
     # Standard post-training-quantization serving practice; drift is
     # bounded by tests/test_int8_eval.py.
     int8_static: bool = False
+    # conv indices kept bf16 inside the int8 serving stack (selective
+    # fallback for drift-sensitive layers; TPU.INT8_BF16_LAYERS)
+    int8_bf16_layers: tuple = ()
     # Prune the backward at the freeze boundary (first freeze_at convs are
     # frozen, vgg16.py:48-55). torch's requires_grad=False stops autograd
     # from ever reaching these first layers; without the stop_gradient XLA
@@ -160,13 +163,36 @@ class VGGBackbone(nn.Module):
                     from odwscl_tpu.ops.quant import conv2d_int8, conv2d_ref
                     k, b = _ConvKB(ch, (3, 3, x.shape[-1], ch),
                                    name=f"conv{conv_idx}")()
+                    if conv_idx in self.int8_bf16_layers:
+                        # selective bf16 fallback (TPU.INT8_BF16_LAYERS):
+                        # keep the most drift-sensitive layers
+                        # (tests/test_int8_eval.py ranks them) at full
+                        # precision inside the int8 serving stack
+                        x = conv2d_ref(x, k, b, dilation=dilation,
+                                       padding=pad,
+                                       out_dtype=self.compute_dtype)
+                        conv_idx += 1
+                        if conv_idx < num_convs:
+                            x = nn.relu(x)
+                        if conv_idx == self.freeze_at:
+                            import jax
+                            x = jax.lax.stop_gradient(x)
+                        continue  # tail already applied for this conv
                     qs = None
+                    cin = x.shape[-1]
                     if calibrate or self.int8_static:
-                        qs = self.variable("quant", f"conv{conv_idx}_act",
-                                           lambda: jnp.zeros((), jnp.float32))
+                        # per-INPUT-CHANNEL activation abs-maxes (round 5;
+                        # ops/quant.py folds them into the kernel exactly).
+                        # Scalar values from a pre-round-5 int8_scales.npz
+                        # still load: conv2d_int8 dispatches on ndim.
+                        qs = self.variable(
+                            "quant", f"conv{conv_idx}_act",
+                            lambda: jnp.zeros((cin,), jnp.float32))
                     if calibrate:
                         qs.value = jnp.maximum(
-                            qs.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+                            qs.value,
+                            jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                    axis=(0, 1, 2)))
                         x = conv2d_ref(x, k, b, dilation=dilation,
                                        padding=pad,
                                        out_dtype=self.compute_dtype)

@@ -82,14 +82,28 @@ def conv2d_int8(x: jnp.ndarray, kernel: jnp.ndarray,
     832x1344 in seconds); if it regresses, the GEMM fallback lives in
     tools/bench_conv_gemm.py.
     """
+    xf = x.astype(jnp.float32)
+    if act_scale is not None and jnp.ndim(act_scale) == 1:
+        # PER-INPUT-CHANNEL calibrated activation scales (round 5,
+        # VERDICT r4 task 3): s_a[c] tracks each channel's own dynamic
+        # range (post-ReLU conv channels differ by >10x), and the
+        # per-channel factor FOLDS EXACTLY into the kernel's Cin axis —
+        #   sum_c round(x_c/s_c) * (w_c * s_c)  ==  sum_c x_c * w_c
+        # so the int8 conv itself is unchanged: quantize the folded
+        # kernel per-Cout as usual and dequantize with its scales alone.
+        # Tighter than one tensor scale at zero extra serving cost.
+        sa = jnp.maximum(act_scale.astype(jnp.float32), 1e-12) / 127.0
+        kernel = kernel * sa[None, None, :, None]
+        xq = jnp.clip(jnp.round(xf / sa), -127, 127).astype(jnp.int8)
+        xs = 1.0
+    else:
+        amax = (jnp.max(jnp.abs(xf)) if act_scale is None
+                else act_scale.astype(jnp.float32))
+        xs = jnp.maximum(amax, 1e-12) / 127.0                  # scalar
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     ks = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0      # [Cout]
     ks = jnp.maximum(ks, 1e-12)
     kq = jnp.clip(jnp.round(kernel / ks), -127, 127).astype(jnp.int8)
-    xf = x.astype(jnp.float32)
-    amax = (jnp.max(jnp.abs(xf)) if act_scale is None
-            else act_scale.astype(jnp.float32))
-    xs = jnp.maximum(amax, 1e-12) / 127.0                      # scalar
-    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     dn = jax.lax.conv_dimension_numbers(xq.shape, kq.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     acc = jax.lax.conv_general_dilated(

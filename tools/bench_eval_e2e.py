@@ -9,13 +9,19 @@ bbox_aug.py:11-76). This tool pushes N synthetic-VOC images at a
 realistic VOC size through the real `inference()` (predictions cache
 OFF) with the shipped 14-transform TTA config and reports:
 
-  - e2e images/sec/chip (wall clock of the prediction loop), and
+  - e2e images/sec/chip (wall clock of the prediction loop) — COLD
+    (includes per-shape compiles) and STEADY (a second pass over the
+    same images with everything compiled; the deployment-relevant rate),
   - the pure-device forward cost of the SAME work: for every TTA
     transform, the jitted eval forward at that transform's collated batch
     shape is timed with the honest chained protocol (bench.py _measure —
-    one jit, fori_loop, carry feeds input), multiplied by the number of
-    batches; plus the device finalize (TTA merge + NMS) chain, and
-  - pipeline overhead % = wall/device - 1 (bar: <= 15%).
+    one jit, fori_loop, carry feeds input, batch DEVICE-RESIDENT so the
+    chain is not re-uploading images every call), multiplied by the
+    number of batches; plus the device finalize (TTA merge + NMS) chain,
+  - the host->device transfer cost per batch (the axon tunnel moves
+    ~0.1-0.3 GB/s, so image uploads — not device compute — can bound
+    this loop; measured explicitly per scale), and
+  - pipeline overhead % = steady_wall/device - 1 (bar: <= 15%).
 
 Writes ONE JSON line and (with --out) BENCH_EVAL_E2E.json.
 
@@ -67,6 +73,8 @@ def main():
     ap.add_argument("--config",
                     default="configs/voc/voc07_contra_db_b8_lr0.01_mcg.yaml")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--device-resize", action="store_true",
+                    help="TPU.EVAL_DEVICE_RESIZE serving fast path")
     ap.add_argument("--out", default="")
     ap.add_argument("--regen", action="store_true")
     args = ap.parse_args()
@@ -98,6 +106,8 @@ def main():
     if args.int8:
         overrides += ["TPU.INT8_EVAL", "True", "TPU.INT8_EVAL_CONVS", "True",
                       "TPU.INT8_STATIC", "True"]
+    if args.device_resize:
+        overrides += ["TPU.EVAL_DEVICE_RESIZE", "True"]
     cfg.merge_from_list(overrides)
     cfg.freeze()
     setup_logger("odwscl_tpu", None, 0)
@@ -119,14 +129,22 @@ def main():
         tiny)
 
     # --- 1) the real end-to-end loop ------------------------------------
+    # cold pass: includes one compile per TTA shape (amortizes over the
+    # dataset in a real eval; separated here so the steady rate is visible)
     timing = {}
     t_all0 = time.time()
     inference(model, variables, cfg, loader, loader.dataset,
               output_folder=None, use_cached=False, timing_out=timing)
     t_all = time.time() - t_all0
-    wall = timing["wall_s"]
+    wall_cold = timing["wall_s"]
     n = timing["n_images"]
+    # steady pass: everything compiled; this is the deployment rate
+    timing2 = {}
+    inference(model, variables, cfg, loader, loader.dataset,
+              output_folder=None, use_cached=False, timing_out=timing2)
+    wall = timing2["wall_s"]
     e2e_ips = n / wall
+    e2e_ips_cold = n / wall_cold
 
     # --- 2) pure-device cost of the same work ---------------------------
     # per-transform forward at the exact collated shape, chained
@@ -142,8 +160,27 @@ def main():
     n_batches = (n + len(first_samples) - 1) // len(first_samples)
     per_tr = []
     device_fwd_s = 0.0
+    transfer_s = 0.0
+    seen_shapes = set()
     for tr in transforms:
-        batch = inferencer.collator([tr(s) for s in first_samples])
+        host_batch = inferencer.collator([tr(s) for s in first_samples])
+        if inferencer._transfer_bf16:
+            import ml_dtypes
+            host_batch = host_batch.replace(
+                images=host_batch.images.astype(ml_dtypes.bfloat16))
+        # upload cost for this scale's batch (the real loop pays it once
+        # per unflipped scale; flips are derived on device). In
+        # device-resize mode the loop uploads only the BASE batch —
+        # measured separately below.
+        up = 0.0
+        if not tr.flip and not cfg.TPU.EVAL_DEVICE_RESIZE:
+            t0 = time.perf_counter()
+            dev = jax.device_put(host_batch)
+            float(jnp.sum(dev.images[0, 0, :, 0].astype(jnp.float32)))
+            up = time.perf_counter() - t0
+            transfer_s += up * n_batches
+        batch = jax.device_put(host_batch)  # device-resident for timing
+        float(jnp.sum(batch.images[0, 0, :, 0].astype(jnp.float32)))
 
         def fwd(acc, v, bt):
             bt2 = bt.replace(images=bt.images + (acc * 1e-30).astype(
@@ -156,7 +193,19 @@ def main():
                        "flip": tr.flip, "sec_per_batch": round(sec, 4)})
         device_fwd_s += sec * n_batches
         print(f"  transform {batch.images.shape} flip={tr.flip}: "
-              f"{sec*1e3:.1f} ms/batch", flush=True)
+              f"{sec*1e3:.1f} ms/batch"
+              + ("" if not up else f"  (upload {up*1e3:.0f} ms)"),
+              flush=True)
+    if cfg.TPU.EVAL_DEVICE_RESIZE:
+        base, _ = inferencer._prep_base(first_samples)
+        host_base = jax.device_get(base)
+        t0 = time.perf_counter()
+        dev = jax.device_put(host_base)
+        float(jnp.sum(dev.images[0, 0, :, 0].astype(jnp.float32)))
+        up = time.perf_counter() - t0
+        transfer_s = up * n_batches
+        print(f"  base batch {tuple(host_base.images.shape)}: upload "
+              f"{up*1e3:.0f} ms", flush=True)
 
     # device finalize (AVG merge output -> NMS -> topk) at identity shape
     from odwscl_tpu.engine.postprocess import finalize_detections_device
@@ -182,13 +231,17 @@ def main():
         "metric": "voc_eval_e2e_images_per_sec_per_chip",
         "value": round(e2e_ips, 2),
         "unit": "images/sec/chip",
-        "mode": ("int8-static" if args.int8 else "bf16-parity"),
+        "mode": ("int8-static" if args.int8 else "bf16-parity")
+                + ("+device-resize" if cfg.TPU.EVAL_DEVICE_RESIZE else ""),
         "n_images": n,
         "n_transforms": len(transforms),
-        "wall_s": round(wall, 2),
+        "wall_steady_s": round(wall, 2),
+        "wall_cold_s": round(wall_cold, 2),
+        "cold_images_per_sec": round(e2e_ips_cold, 2),
         "wall_incl_eval_s": round(t_all, 2),
         "device_forward_s": round(device_fwd_s, 2),
         "device_finalize_s": round(fin_sec * n_batches, 2),
+        "transfer_s": round(transfer_s, 2),
         "pipeline_overhead_pct": round(overhead * 100, 1),
         "per_transform": per_tr,
         "img_hw": [args.img_h, args.img_w],

@@ -19,18 +19,18 @@ Design (v4 — replaces the v3 exact-range row loops; the row stage is O(1)):
   for wide rois (each group belongs to ~1-2 bins).
 - Per-roi column windows (24 / 40 / 88 / full-width classes, chosen on the
   host) bound the row-load width cw so small rois touch little VMEM.
-- Backward (custom_vjp): recomputes the row-bins per roi from the table
-  (O(1) instead of a full row sweep), derives per-column-bin maxima AND
-  tie counts in ONE pass over the bin's column groups (running max+count
-  merge), routes bin cotangents to tied columns, then to tied rows with
-  exactly two dynamic row sweeps (count, route) — v3 needed three. Exact ties split
-  the cotangent evenly per reduction stage (columns, then rows — the jnp
-  composed reduce-max VJP convention; CUDA picks the first argmax, but
-  bf16 rounding makes exact ties common and any all-maxima routing would
-  multiply gradient mass). All routing math is f32 (exact for bf16
-  features; bf16 i1 compare vectors also trip Mosaic relayout limits).
-  d_feat accumulates into a VMEM-resident f32 block across roi chunks, so
-  the whole VJP stays on-chip.
+- Backward (custom_vjp, v5): routes each bin's cotangent to the CUDA
+  FIRST-ARGMAX cell — bit-parity with ROIPool_cuda.cu's stored-argmax
+  scatter, including on bf16 ties (v4 split ties evenly per reduction
+  stage, a documented deviation now removed). One raw
+  (max, first-argmax-row) scan per row-bin replaces v4's sparse-table
+  recompute + two tie-count/route sweeps; the column stage tracks a
+  min row-major key through its single merge pass and routes by iota
+  compare (see _bwd_kernel docstring). All routing math is f32 (exact
+  for bf16 features; bf16 i1 compare vectors trip Mosaic relayout
+  limits). d_feat accumulates into a VMEM-resident f32 block across roi
+  chunks, so the whole VJP stays on-chip, and the backward needs no
+  sparse table at all.
 - Feature maps too large for VMEM residency fall back to the XLA pooler
   via the feasibility gates below (no shipped eval/train scale needs it).
 """
@@ -286,16 +286,46 @@ def _fwd_kernel(meta_ref, feat_ref, out_ref, tbl_ref, rb_ref, *, wp, cws,
     jax.lax.fori_loop(0, CHUNK, body, 0)
 
 
-def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, tbl_ref, rb_ref,
-                drb_ref, *, wp, cws, nl):
+_BIGKEY = 3.0e7   # > hp*wp for any feasible map; exact in f32
+
+
+def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, rb_ref, ry_ref,
+                drb_ref, *, wp, cws):
+    """v5 backward: CUDA first-argmax routing (ROIPool_cuda.cu stores the
+    argmax in the forward and scatters the cotangent to that single cell;
+    `if (val > maxval)` scanning y-then-x keeps the FIRST row-major
+    maximum). Routing to one cell per bin lets the whole backward run in
+    ONE raw row sweep + one cheap iota-routed sweep:
+
+      1. per row-bin: a raw (max, first-argmax-row) scan over the bin's
+         rows -> rb (column maxes) + ry (each column's first max row).
+         Replaces the v4 sparse-table recompute AND kills the table
+         build/VMEM entirely in the backward.
+      2. per column-bin: one merge pass over the 8-aligned groups tracking
+         (bin max, min row-major key) where key = ry*wp + x — the minimal
+         key IS the CUDA argmax cell (min row, then min column; a column's
+         first-max row equals the bin's first row iff that column attains
+         the max there).
+      3. route g into drb at column x* = key mod wp by an iota compare
+         (no rb loads — v4's value-equality route pass re-read rb).
+      4. one row sweep adds drb * (y == ry) into the resident d_feat —
+         v4 needed TWO raw sweeps here (tie count, then route) plus the
+         even-split divisions.
+
+    v4 split ties evenly per reduction stage (the composed jnp reduce-max
+    VJP convention); v5 routes each bin's full cotangent to the CUDA
+    argmax cell — bit-parity with the reference kernel, including bf16
+    ties. All routing arithmetic is f32 (exact for bf16 features; bf16
+    compare masks trip Mosaic i1-relayout limits).
+    """
     rc = pl.program_id(2)
 
     @pl.when(rc == 0)
     def _():
         dfeat_ref[...] = jnp.zeros(dfeat_ref.shape, dfeat_ref.dtype)
-        _build_table(feat_ref, tbl_ref, nl)
 
     ct = feat_ref.shape[-1]
+    negf = _neg(jnp.float32)
 
     def body(r, _):
         cls = _ms(meta_ref, r, _M_CLS)
@@ -304,82 +334,85 @@ def _bwd_kernel(meta_ref, feat_ref, g_ref, dfeat_ref, tbl_ref, rb_ref,
         def run(cw, xs_slot):
             xs = (pl.multiple_of(_ms(meta_ref, r, xs_slot), 8)
                   if xs_slot is not None else 0)
-            # forward recompute from the table, all f32 (exact for bf16;
-            # avoids Mosaic i1-relayout limits on bf16 compare vectors)
-            _rowbins_tbl(meta_ref, feat_ref, tbl_ref, rb_ref, r, xs, cw,
-                         nl, jnp.float32)
-            negf = _neg(jnp.float32)
-            drb_ref[:, :cw] = jnp.zeros((7, cw, ct), jnp.float32)
-
-            # columns: per bin, ONE pass over the bin's exact 8-aligned
-            # groups computing max AND tie count together (running merge:
-            # a strictly greater group max resets the count), then a
-            # second pass routing g / cnt to tied columns
-            for pw in range(7):
-                clo, chi, g0, ng = _col_range(meta_ref, r, pw, xs, cw)
-
-                def mc_body(g, carry):
-                    acc, cnt = carry
-                    base = pl.multiple_of(g0 + 8 * g, 8)
-                    grp = rb_ref[:, pl.ds(base, 8), :]   # [7, 8, CT] f32
-                    ci = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 8, 1), 1) + base
-                    inb = (ci >= clo) & (ci < chi)
-                    mf = jnp.where(inb, 1.0, 0.0)
-                    gm = jnp.max(jnp.where(inb, grp, negf), axis=1)
-                    eq = jnp.where(grp == gm[:, None, :], 1.0, 0.0) * mf
-                    gc = jnp.sum(eq, axis=1)
-                    cnt = jnp.where(gm > acc, gc,
-                                    jnp.where(gm == acc, cnt + gc, cnt))
-                    return jnp.maximum(acc, gm), cnt
-
-                amax, acnt = jax.lax.fori_loop(
-                    0, ng, mc_body,
-                    (jnp.full((7, ct), negf, jnp.float32),
-                     jnp.zeros((7, ct), jnp.float32)))
-                live = jnp.where(amax > _neg_th(jnp.float32), 1.0, 0.0)
-                d_col = (g_ref[0, r, :, pw, :] * live
-                         / jnp.maximum(acnt, 1.0))       # [7, CT]
-
-                def route_body(g, _):
-                    base = pl.multiple_of(g0 + 8 * g, 8)
-                    grp = rb_ref[:, pl.ds(base, 8), :]
-                    ci = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 8, 1), 1) + base
-                    mf = jnp.where((ci >= clo) & (ci < chi), 1.0, 0.0)
-                    eq = jnp.where(grp == amax[:, None, :], 1.0, 0.0) * mf
-                    cur = drb_ref[:, pl.ds(base, 8), :]
-                    drb_ref[:, pl.ds(base, 8), :] = (
-                        cur + eq * d_col[:, None, :])
-                    return 0
-
-                jax.lax.fori_loop(0, ng, route_body, 0)
-
-            # rows: per row-bin, count ties along the exact row range, then
-            # route drb / cnt into the resident d_feat block
+            # 1) raw (max, first-argmax-row) scan per row-bin
             for ph in range(7):
                 lo = _ms(meta_ref, r, _M_RLO + ph)
                 hi = _ms(meta_ref, r, _M_RHI + ph)
-                target = rb_ref[ph, :cw]                  # [cw, CT]
 
-                def rcnt_body(y, acc):
+                def scan_body(y, carry):
+                    m, my = carry
                     row = feat_ref[0, y, pl.ds(xs, cw), :].reshape(
                         cw, ct).astype(jnp.float32)
-                    return acc + jnp.where(row == target, 1.0, 0.0)
+                    gt = jnp.where(row > m, 1.0, 0.0)   # strict: keep FIRST
+                    my = my * (1.0 - gt) + y.astype(jnp.float32) * gt
+                    return jnp.maximum(m, row), my
 
-                rcnt = jax.lax.fori_loop(lo, hi, rcnt_body,
-                                         jnp.zeros((cw, ct), jnp.float32))
-                d_row = drb_ref[ph, :cw] / jnp.maximum(rcnt, 1.0)
+                m, my = jax.lax.fori_loop(
+                    lo, hi, scan_body,
+                    (jnp.full((cw, ct), negf, jnp.float32),
+                     jnp.zeros((cw, ct), jnp.float32)))
+                rb_ref[ph, :cw] = m
+                ry_ref[ph, :cw] = my
+            drb_ref[:, :cw] = jnp.zeros((7, cw, ct), jnp.float32)
 
-                def rroute_body(y, _):
-                    row = feat_ref[0, y, pl.ds(xs, cw), :].reshape(
-                        cw, ct).astype(jnp.float32)
-                    eq = jnp.where(row == target, 1.0, 0.0)
-                    cur = dfeat_ref[0, y, pl.ds(xs, cw), :].reshape(cw, ct)
-                    dfeat_ref[0, y, pl.ds(xs, cw), :] = cur + d_row * eq
+            # 2+3) per column-bin: (max, min-key) merge, then iota route
+            for pw in range(7):
+                clo, chi, g0, ng = _col_range(meta_ref, r, pw, xs, cw)
+
+                def mk_body(gi, carry):
+                    amax, akey = carry
+                    base = pl.multiple_of(g0 + 8 * gi, 8)
+                    grp = rb_ref[:, pl.ds(base, 8), :]   # [7, 8, CT] f32
+                    gry = ry_ref[:, pl.ds(base, 8), :]
+                    ci = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 8, 1), 1) + base
+                    inb = jnp.where((ci >= clo) & (ci < chi), 1.0, 0.0)
+                    vals = jnp.where(inb > 0, grp, negf)
+                    gm = jnp.max(vals, axis=1)           # [7, CT]
+                    key = gry * float(wp) + ci.astype(jnp.float32)
+                    tied = jnp.where(vals == gm[:, None, :], key, _BIGKEY)
+                    tied = jnp.where(inb > 0, tied, _BIGKEY)
+                    gk = jnp.min(tied, axis=1)           # [7, CT]
+                    better = jnp.where(gm > amax, 1.0, 0.0)
+                    eqm = jnp.where(gm == amax, 1.0, 0.0) * (1.0 - better)
+                    akey = (better * gk + eqm * jnp.minimum(akey, gk)
+                            + (1.0 - better - eqm) * akey)
+                    return jnp.maximum(amax, gm), akey
+
+                amax, akey = jax.lax.fori_loop(
+                    0, ng, mk_body,
+                    (jnp.full((7, ct), negf, jnp.float32),
+                     jnp.full((7, ct), _BIGKEY, jnp.float32)))
+                live = jnp.where(amax > _neg_th(jnp.float32), 1.0, 0.0)
+                d = g_ref[0, r, :, pw, :] * live         # [7, CT]
+                xstar = akey - jnp.floor(akey / float(wp)) * float(wp)
+
+                def rt_body(gi, _):
+                    base = pl.multiple_of(g0 + 8 * gi, 8)
+                    ci = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 8, 1), 1) + base).astype(jnp.float32)
+                    hit = jnp.where(ci == xstar[:, None, :], 1.0, 0.0)
+                    cur = drb_ref[:, pl.ds(base, 8), :]
+                    drb_ref[:, pl.ds(base, 8), :] = cur + hit * d[:, None, :]
                     return 0
 
-                jax.lax.fori_loop(lo, hi, rroute_body, 0)
+                jax.lax.fori_loop(0, ng, rt_body, 0)
+
+            # 4) one row sweep: each column's mass lands on its first
+            #    max row (the bin argmax cell is (ry[x*], x*))
+            for ph in range(7):
+                lo = _ms(meta_ref, r, _M_RLO + ph)
+                hi = _ms(meta_ref, r, _M_RHI + ph)
+                dd = drb_ref[ph, :cw]                    # [cw, CT]
+                ryv = ry_ref[ph, :cw]
+
+                def rr_body(y, _, dd=dd, ryv=ryv):
+                    hit = jnp.where(ryv == y.astype(jnp.float32), 1.0, 0.0)
+                    cur = dfeat_ref[0, y, pl.ds(xs, cw), :].reshape(cw, ct)
+                    dfeat_ref[0, y, pl.ds(xs, cw), :] = cur + dd * hit
+                    return 0
+
+                jax.lax.fori_loop(lo, hi, rr_body, 0)
 
         for ci, (cw, slot) in enumerate(
                 zip(cws, (_M_XSS, _M_XSN, _M_XSM))):
@@ -435,9 +468,10 @@ def _plan(c, hp, wp, itemsize, bwd):
 
 def _vmem_need(hp, wp, ct, itemsize, bwd, nl):
     feat = 2 * hp * wp * ct * itemsize
-    tbl = (nl - 1) * hp * wp * ct * itemsize
+    # v5 backward builds no sparse table (one raw scan replaces it)
+    tbl = 0 if bwd else (nl - 1) * hp * wp * ct * itemsize
     out = 2 * CHUNK * 49 * ct * (4 if bwd else itemsize)
-    scratch = 7 * wp * ct * (8 if bwd else itemsize)
+    scratch = 7 * wp * ct * (12 if bwd else itemsize)
     dfeat = 2 * hp * wp * ct * 4 if bwd else 0
     return feat + tbl + out + scratch + dfeat + (2 << 20)
 
@@ -514,7 +548,7 @@ def _run_bwd(feat_p, meta, g_p, hp, wp, cws, nl, ct, interpret=False):
     pp = meta.shape[1]
     isz = jnp.dtype(feat_p.dtype).itemsize
     grid = (b, c // ct, pp // CHUNK)
-    kernel = functools.partial(_bwd_kernel, wp=wp, cws=cws, nl=nl)
+    kernel = functools.partial(_bwd_kernel, wp=wp, cws=cws)
     params = pltpu.CompilerParams(
         vmem_limit_bytes=min(
             _vmem_need(hp, wp, ct, isz, True, nl) + (34 << 20),
@@ -536,10 +570,10 @@ def _run_bwd(feat_p, meta, g_p, hp, wp, cws, nl, ct, interpret=False):
                                lambda bi, ci, ri: (bi, 0, 0, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), jnp.float32),
-        # rb/drb scratches f32: the backward routing compares in f32 (exact
-        # for bf16 inputs) to avoid Mosaic i1-relayout limits on bf16
-        scratch_shapes=[pltpu.VMEM((max(nl - 1, 1), hp, wp, ct),
-                                   feat_p.dtype),
+        # rb/ry/drb scratches f32: the backward routing compares in f32
+        # (exact for bf16 inputs) to avoid Mosaic i1-relayout limits on
+        # bf16; v5 needs no sparse table in the backward
+        scratch_shapes=[pltpu.VMEM((7, wp, ct), jnp.float32),
                         pltpu.VMEM((7, wp, ct), jnp.float32),
                         pltpu.VMEM((7, wp, ct), jnp.float32)],
         interpret=interpret,

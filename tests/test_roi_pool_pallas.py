@@ -175,3 +175,53 @@ def test_pallas_exact_size_grid():
                                      jnp.array(mask), 0.125))
     golden = roi_pool_numpy(feat[0], rois, 0.125)
     np.testing.assert_allclose(out[0], golden, atol=0, rtol=0)
+
+
+def test_backward_first_argmax_on_ties():
+    """v5 tie semantics = the CUDA kernel's stored argmax
+    (ROIPool_cuda.cu:30-60: `if (val > maxval)` scanning y then x keeps
+    the FIRST row-major maximum; the backward scatters each bin's whole
+    cotangent to that one cell). Features are built with deliberate
+    duplicated maxima inside bins; expected gradients computed by a
+    direct numpy transcription of the CUDA scan order."""
+    rng = np.random.RandomState(11)
+    h, w, c = 16, 24, 8
+    # quantize features so exact ties are everywhere
+    feat = np.round(rng.randn(1, h, w, c) * 2).astype(np.float32)
+    rois = np.array([
+        [16.0, 8.0, 100.0, 90.0],
+        [0.0, 0.0, 180.0, 120.0],
+        [40.0, 16.0, 47.0, 23.0],      # 1x1-cell bins replicated
+    ], np.float32)
+    mask = np.ones((1, 3), bool)
+    g = rng.randn(1, 3, 7, 7, c).astype(np.float32)
+
+    d_pal = jax.grad(lambda f: jnp.vdot(
+        rp.roi_pool_tpu(f, jnp.array(rois)[None], jnp.array(mask), 0.125),
+        jnp.array(g)))(jnp.array(feat))
+
+    # numpy CUDA-semantics backward
+    want = np.zeros_like(feat)
+    scale = 0.125
+    for r in range(3):
+        cells = np.floor(rois[r] * scale + 0.5).astype(np.int64)
+        x1, y1, x2, y2 = cells
+        rw = max(x2 - x1 + 1, 1)
+        rh = max(y2 - y1 + 1, 1)
+        for ph in range(7):
+            for pw in range(7):
+                hs = min(max(ph * rh // 7 + y1, 0), h)
+                he = min(max(-(-(ph + 1) * rh // 7) + y1, 0), h)
+                ws = min(max(pw * rw // 7 + x1, 0), w)
+                we = min(max(-(-(pw + 1) * rw // 7) + x1, 0), w)
+                if hs >= he or ws >= we:
+                    continue
+                for ch in range(c):
+                    maxval, my, mx = -np.inf, -1, -1
+                    for y in range(hs, he):
+                        for x in range(ws, we):
+                            if feat[0, y, x, ch] > maxval:
+                                maxval, my, mx = feat[0, y, x, ch], y, x
+                    want[0, my, mx, ch] += g[0, r, ph, pw, ch]
+    np.testing.assert_allclose(np.asarray(d_pal), want, atol=1e-5,
+                               rtol=1e-5)

@@ -118,15 +118,43 @@ def main():
     t_all = chain(g_all, state.params, batch)
     print(f"grad_all   : {t_all*1e3:7.1f} ms", flush=True)
 
-    # 4) the full train step (grad + optimizer update + apply)
+    # 4) the full train step (grad + optimizer update + apply). Sum EVERY
+    # updated leaf — summing only the first (a frozen conv whose update
+    # is set_to_zero) lets XLA dead-code-eliminate the whole backward.
     def f_step(acc, st, bt):
         st2, logs = step(st, perturb(bt, acc))
-        return logs["loss"] + jnp.sum(
-            jax.tree_util.tree_leaves(st2.params)[0].astype(jnp.float32)
-        ) * 1e-12
+        s = sum(jnp.sum(x.astype(jnp.float32)) for x in
+                jax.tree_util.tree_leaves(st2.params))
+        return logs["loss"] + s * 1e-12
 
     t_step = chain(f_step, state, batch)
     print(f"full_step  : {t_step*1e3:7.1f} ms", flush=True)
+
+    # 5) finer forward segments at the train shape
+    from odwscl_tpu.models.vgg16 import VGGBackbone, VGGRoINeck
+    bb = VGGBackbone(arch="VGG16-OICR", compute_dtype=jnp.bfloat16,
+                     s2d_stem=True, freeze_at=4)
+    bb_params = {"params": state.params["backbone"]}
+    imgs_bf = images.astype(jnp.bfloat16)
+
+    def bb_fwd(acc, pr, im):
+        out = bb.apply(pr, im + (acc * 1e-30).astype(im.dtype))
+        return jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+    t_bbf = chain(bb_fwd, bb_params, imgs_bf)
+    print(f"bb fwd     : {t_bbf*1e3:7.1f} ms", flush=True)
+
+    def bb_fb(acc, pr, im):
+        def f(pr):
+            out = bb.apply(pr, im + (acc * 1e-30).astype(im.dtype))
+            return jnp.sum(out.astype(jnp.float32))
+        l, g = jax.value_and_grad(f)(pr)
+        return (l + sum(jnp.sum(x.astype(jnp.float32))
+                        for x in jax.tree_util.tree_leaves(g))) * 1e-12
+
+    t_bbfb = chain(bb_fb, bb_params, imgs_bf)
+    print(f"bb fwd+bwd : {t_bbfb*1e3:7.1f} ms  (bwd ~{(t_bbfb-t_bbf)*1e3:.1f})",
+          flush=True)
 
     print("\nattribution:")
     print(f"  loss fwd (conv+pool+neck+mining fwd) : {t_fwd*1e3:7.1f} ms")
